@@ -1,0 +1,17 @@
+"""Revisited Oxford/Paris protocol evaluation (the framework's fidelity gate)."""
+
+from research_image_retrieval_tpu.evaluation.revisited import (
+    compute_ap,
+    compute_map,
+    compute_map_and_print,
+    evaluate_revisited,
+    RevisitedResult,
+)
+
+__all__ = [
+    "compute_ap",
+    "compute_map",
+    "compute_map_and_print",
+    "evaluate_revisited",
+    "RevisitedResult",
+]
