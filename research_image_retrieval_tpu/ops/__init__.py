@@ -1,0 +1,39 @@
+"""Pure-function descriptor ops (the compute core under every model).
+
+All ops use NHWC layout (TPU-native) and are jit/vmap/pjit friendly:
+no Python control flow on traced values, static shapes, fp32 accumulation.
+"""
+
+from research_image_retrieval_tpu.ops.pooling import (
+    gem_pool,
+    spoc_pool,
+    avg_pool_all,
+    max_pool_all,
+)
+from research_image_retrieval_tpu.ops.norm import l2_normalize
+from research_image_retrieval_tpu.ops.whiten import (
+    pca_whiten_learn,
+    apply_whitening,
+)
+from research_image_retrieval_tpu.ops.losses import (
+    arcface_logits,
+    arcface_delg_logits,
+    madacos_loss,
+    cross_entropy,
+    topk_errors,
+)
+
+__all__ = [
+    "gem_pool",
+    "spoc_pool",
+    "avg_pool_all",
+    "max_pool_all",
+    "l2_normalize",
+    "pca_whiten_learn",
+    "apply_whitening",
+    "arcface_logits",
+    "arcface_delg_logits",
+    "madacos_loss",
+    "cross_entropy",
+    "topk_errors",
+]

@@ -1,18 +1,25 @@
-"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
 Multi-chip sharding is validated on virtual CPU devices
 (XLA_FLAGS=--xla_force_host_platform_device_count=8), the TPU answer to
 "test distributed code without a cluster".
+
+This environment eagerly registers a TPU platform plugin at interpreter
+start (sitecustomize), so plain JAX_PLATFORMS env manipulation is not
+enough — we must override via jax.config before any backend is touched.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
