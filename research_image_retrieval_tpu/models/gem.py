@@ -1,0 +1,104 @@
+"""GeM global-descriptor model (the framework's flagship baseline).
+
+Behavioral contract of the reference GeM model
+(reference: networks/RetrievalNet.py:327-354):
+
+  train:   backbone -> gem(p=3) -> 1x1 "whiten" projection -> ArcFace(s, m)
+           -> cross-entropy
+  extract: backbone -> gem -> whiten -> L2 normalize
+
+TPU-first notes: NHWC backbone; the whiten 1x1 conv is a Dense on the
+pooled vector (identical math, one fused MXU matmul); ArcFace classifier
+weight is a model parameter so pjit can shard the 81313-way GLDv2
+classifier over the mesh; supports masked pooling for bucketed
+variable-resolution extraction.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import (
+    arcface_logits,
+    cross_entropy,
+    gem_pool,
+    l2_normalize,
+)
+
+__all__ = ["GeMModel"]
+
+
+class GeMModel(nn.Module):
+    """ResNet-GeM with ArcFace head (dual train/extract API)."""
+
+    backbone_name: str = "resnet50"
+    outputdim: int = 2048
+    num_classes: int = 81313
+    p: float = 3.0
+    learnable_p: bool = False
+    s: float = 32.0
+    m: float = 0.15
+    dilation_block5: bool = False
+    bn_axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            name_=self.backbone_name,
+            out_stages=(5,),
+            dilation_block5=self.dilation_block5,
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+        )
+        self.whiten = nn.Dense(self.outputdim, use_bias=True, dtype=jnp.float32,
+                               name="whiten")
+        if self.learnable_p:
+            self.p_param = self.param(
+                "gem_p", lambda _: jnp.asarray([self.p], jnp.float32)
+            )
+        self.classifier_w = self.param(
+            "classifier_w",
+            nn.initializers.xavier_uniform(),
+            (self.num_classes, self.outputdim),
+        )
+
+    def _descriptor(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train)
+        p = self.p_param if self.learnable_p else self.p
+        pooled = gem_pool(fmap, p=p, valid_hw=valid_hw)
+        return self.whiten(pooled)
+
+    def __call__(self, x, labels, train: bool = True):
+        """Train forward: (loss, logits)."""
+        feat = self._descriptor(x, train=train)
+        logits = arcface_logits(
+            feat, self.classifier_w, labels, s=self.s, m=self.m
+        )
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        """Extraction forward: L2-normalized global descriptor."""
+        return l2_normalize(self._descriptor(x, train=False, valid_hw=valid_hw))
+
+
+register_model(
+    "gem_r50",
+    description="ResNet50-GeM global descriptor with ArcFace (reference RetrievalNet.py:327)",
+    defaults=dict(backbone_name="resnet50", outputdim=2048, p=3.0, s=32.0, m=0.15),
+    family="gem",
+    paper="Radenovic et al., Fine-tuning CNN Image Retrieval with No Human Annotation (TPAMI 2018)",
+    table1_names=("R50-GeM",),
+)(GeMModel)
+
+register_model(
+    "gem_r101",
+    description="ResNet101-GeM global descriptor with ArcFace",
+    defaults=dict(backbone_name="resnet101", outputdim=2048, p=3.0, s=32.0, m=0.15),
+    family="gem",
+    table1_names=("R101-GeM",),
+)(GeMModel)
