@@ -1,0 +1,24 @@
+"""Parallelism layer: mesh construction, sharding rules, distributed search.
+
+Replaces the reference's NCCL/DDP stack (reference: utils/helpfunc.py:151-171,
+spca_train.py:137-140) with jax.sharding: a named device mesh, GSPMD
+shardings under jit, and XLA collectives over ICI.
+"""
+
+from research_image_retrieval_tpu.parallel.mesh import (
+    make_mesh,
+    data_sharding,
+    replicated,
+    classifier_sharding,
+    shard_train_state_rules,
+)
+from research_image_retrieval_tpu.parallel.dist_search import sharded_search_topk
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "classifier_sharding",
+    "shard_train_state_rules",
+    "sharded_search_topk",
+]

@@ -1,0 +1,80 @@
+"""ICI-sharded gallery search: distributed matmul + top-k merge.
+
+TPU-native replacement for the reference's host-side dense ranking over
+large galleries (reference: iris_evaluate.py:383-386): the gallery is
+sharded row-wise across devices (HBM-resident), each device computes local
+cosine scores + local top-k on its shard, and the k-way merge happens on
+globally-gathered (k * n_shards) candidates — O(Q * k * shards) transfer
+instead of O(Q * N).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["sharded_search_topk"]
+
+
+def sharded_search_topk(
+    queries,
+    gallery,
+    k: int = 100,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+):
+    """Top-k search with the gallery sharded over ``axis`` of ``mesh``.
+
+    Args:
+      queries: [Q, D] L2-normalized query descriptors (replicated).
+      gallery: [N, D] L2-normalized gallery; N must divide by the axis size.
+      k: number of neighbors.
+      mesh: device mesh (defaults to all devices on one 'data' axis).
+
+    Returns:
+      (scores [Q, k], global_indices [Q, k]) on host, descending.
+    """
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(
+            __import__("numpy").asarray(devs).reshape(len(devs), 1),
+            axis_names=("data", "model"),
+        )
+    n_shards = mesh.shape[axis]
+    queries = jnp.asarray(queries, jnp.float32)
+    gallery = jnp.asarray(gallery, jnp.float32)
+    N = gallery.shape[0]
+    if N % n_shards != 0:
+        pad = n_shards - N % n_shards
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))  # zero rows score 0
+    shard_n = gallery.shape[0] // n_shards
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        # outputs are replicated by construction (post all_gather merge);
+        # the varying-mesh-axes checker can't see that through top_k
+        check_vma=False,
+    )
+    def local_topk_merge(q, g_shard):
+        # local [Q, shard_n] scores on the MXU, then per-shard top-k
+        sims = jnp.matmul(q, g_shard.T, preferred_element_type=jnp.float32)
+        s, i = jax.lax.top_k(sims, min(k, shard_n))
+        shard_id = jax.lax.axis_index(axis)
+        gi = i + shard_id * shard_n
+        # gather all shards' candidates: [Q, k*n_shards]
+        all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+        ms, mi = jax.lax.top_k(all_s, k)
+        final_i = jnp.take_along_axis(all_i, mi, axis=1)
+        return ms, final_i
+
+    scores, idx = jax.jit(local_topk_merge)(queries, gallery)
+    # drop any padded-row hits (score exactly 0 on zero rows is possible but
+    # they can only appear if fewer than k real candidates exist)
+    return scores, jnp.where(idx < N, idx, N - 1)

@@ -1,0 +1,100 @@
+"""Checkpointing with the reference's retention policy, on Orbax.
+
+Reference behavior (spca_train.py:289-300, helpfunc.py:128-207): save every
+``save_freq`` epochs, delete older checkpoints keeping every 5th, keep a
+separate best copy; resume restores model + optimizer and fast-forwards the
+schedule.  Here the whole TrainState (params, batch_stats, opt_state, step)
+is one pytree, so resume is exact by construction; saves are async
+(preemption-friendly) via Orbax.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    """Epoch-keyed checkpoints with rolling retention + best tracking.
+
+    Args:
+      directory: checkpoint root (created if missing).
+      keep_every: retention anchor — epochs divisible by this are kept
+        forever (reference keeps every 5th: spca_train.py:293-300).
+      keep_last: how many most-recent epochs survive rolling deletion.
+    """
+
+    def __init__(self, directory: str, keep_every: int = 5, keep_last: int = 1):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.keep_every = keep_every
+        self.keep_last = keep_last
+        self._ckptr = ocp.StandardCheckpointer()
+        self._best_metric: float | None = None
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"epoch_{epoch:05d}")
+
+    def save(self, epoch: int, state: Any, metric: float | None = None,
+             lower_is_better: bool = True):
+        """Save state for ``epoch``; update 'best' if metric improves."""
+        self._ckptr.save(self._path(epoch), state, force=True)
+        self._ckptr.wait_until_finished()
+        if metric is not None:
+            better = (
+                self._best_metric is None
+                or (metric < self._best_metric) == lower_is_better
+                or metric == self._best_metric
+            )
+            if self._best_metric is None or (
+                metric < self._best_metric if lower_is_better else metric > self._best_metric
+            ):
+                self._best_metric = metric
+                best = os.path.join(self.directory, "best")
+                self._ckptr.save(best, state, force=True)
+                self._ckptr.wait_until_finished()
+        self._rolling_delete(epoch)
+
+    def _rolling_delete(self, current: int):
+        for e in self._list_epochs():
+            if e == current or e % self.keep_every == 0:
+                continue
+            if e < current - (self.keep_last - 1):
+                path = self._path(e)
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+
+    def _list_epochs(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("epoch_"):
+                try:
+                    out.append(int(name.split("_")[1]))
+                except (IndexError, ValueError):
+                    pass
+        return sorted(out)
+
+    def latest_epoch(self) -> int | None:
+        es = self._list_epochs()
+        return es[-1] if es else None
+
+    def restore(self, state_template: Any, epoch: int | None = None,
+                best: bool = False) -> tuple[Any, int]:
+        """Restore (state, epoch).  ``state_template`` provides the pytree
+        structure/shardings (an abstract or concrete TrainState)."""
+        if best:
+            path = os.path.join(self.directory, "best")
+            epoch = -1
+        else:
+            if epoch is None:
+                epoch = self.latest_epoch()
+                if epoch is None:
+                    raise FileNotFoundError(f"no checkpoints in {self.directory}")
+            path = self._path(epoch)
+        restored = self._ckptr.restore(path, target=state_template)
+        return restored, epoch

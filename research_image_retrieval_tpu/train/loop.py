@@ -1,0 +1,135 @@
+"""pjit train loop: model-agnostic train/eval steps over a device mesh.
+
+Replaces the reference's DDP epoch loop (reference: spca_train.py:180-300):
+gradient all-reduce, SyncBatchNorm stat exchange and loss-meter reduction
+all fall out of jit-over-sharded-batch; the 81313-way classifier weight is
+sharded over the mesh (see parallel.mesh) instead of replicated.
+
+Works single-device too (mesh=None) — same code path, trivial mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from research_image_retrieval_tpu.ops import topk_errors
+from research_image_retrieval_tpu.parallel.mesh import (
+    data_sharding,
+    replicated,
+    shard_train_state_rules,
+)
+
+__all__ = ["TrainState", "create_train_state", "make_train_step", "make_eval_step"]
+
+
+class TrainState(flax.struct.PyTreeNode):
+    """Single pytree holding everything a resumable train step needs."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    # extra mutable model state (e.g. ArcFace-DELG EMA t) — optional pytree
+    model_state: Any = None
+
+
+def create_train_state(
+    model,
+    rng,
+    sample_images,
+    sample_labels,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+) -> TrainState:
+    """Initialize variables + optimizer state, placed per sharding rules."""
+    variables = model.init(rng, sample_images, labels=sample_labels, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=optimizer.init(params),
+        model_state=variables.get("model_state", None),
+    )
+    if mesh is not None:
+        rule = shard_train_state_rules(mesh)
+        shardings = jax.tree_util.tree_map_with_path(rule, state)
+        state = jax.tree.map(
+            lambda x, s: jax.device_put(x, s), state, shardings
+        )
+    return state
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, images, labels) -> (state, metrics).
+
+    With a mesh, the batch is sharded over the 'data' axis and the state
+    follows its placement shardings; XLA inserts the gradient all-reduce.
+    """
+
+    def loss_fn(params, batch_stats, images, labels):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (loss, logits), mutated = model.apply(
+            variables, images, labels=labels, train=True, mutable=["batch_stats"]
+        )
+        return loss, (logits, mutated["batch_stats"])
+
+    def step_fn(state: TrainState, images, labels):
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, labels)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        e1, e5 = topk_errors(logits, labels, ks=(1, 5))
+        metrics = {
+            "loss": loss,
+            "top1_err": e1,
+            "top5_err": e5,
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    dsh = data_sharding(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(None, dsh, dsh),  # state keeps its placement shardings
+        out_shardings=(None, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh=None) -> Callable:
+    """Jitted validation step: (state, images, labels) -> metrics."""
+
+    def step_fn(state: TrainState, images, labels):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loss, logits = model.apply(variables, images, labels=labels, train=False)
+        e1, e5 = topk_errors(logits, labels, ks=(1, 5))
+        return {"loss": loss, "top1_err": e1, "top5_err": e5}
+
+    if mesh is None:
+        return jax.jit(step_fn)
+    dsh = data_sharding(mesh)
+    return jax.jit(step_fn, in_shardings=(None, dsh, dsh),
+                   out_shardings=replicated(mesh))

@@ -1,0 +1,124 @@
+"""Metrics and logging: meters, throttled iteration logger, JSONL writer.
+
+Same observable behavior as the reference's meters
+(reference: utils/helpfunc.py:216-315): NaN values clamp to 1e4, the logger
+prints ETA + meter averages + iter time every ``print_freq`` steps.  The
+cross-process meter all_reduce is unnecessary here — metrics come out of the
+jitted step already reduced over the mesh.  A JSONL channel replaces the
+reference's matplotlib-PNG-every-10-iters pattern (spca_train.py:206-240).
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import math
+import time
+from collections import defaultdict
+from typing import Iterable
+
+__all__ = ["AverageMeter", "MetricLogger", "JsonlWriter"]
+
+
+class AverageMeter:
+    """Running average with the reference's non-finite guard."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        val = float(val)
+        if not math.isfinite(val):
+            val = 10000.0
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+    def __str__(self):
+        return f"{self.avg:.4f}"
+
+
+class MetricLogger:
+    """Named meters + a throttled progress generator."""
+
+    def __init__(self, delimiter: str = "  "):
+        self.meters: dict[str, AverageMeter] = defaultdict(AverageMeter)
+        self.delimiter = delimiter
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in self.meters.items()
+        )
+
+    def log_every(self, iterable: Iterable, print_freq: int, header: str = ""):
+        start = time.time()
+        end = start
+        iter_time = AverageMeter()
+        try:
+            total = len(iterable)  # type: ignore[arg-type]
+        except TypeError:
+            total = None
+        for i, obj in enumerate(iterable):
+            yield obj
+            iter_time.update(time.time() - end)
+            if print_freq and (i % print_freq == 0 or (total and i == total - 1)):
+                if total:
+                    eta = str(
+                        datetime.timedelta(
+                            seconds=int(iter_time.avg * (total - i))
+                        )
+                    )
+                    print(
+                        self.delimiter.join(
+                            [header, f"[{i}/{total}]", f"eta: {eta}",
+                             str(self), f"iter time: {iter_time} s"]
+                        )
+                    )
+                else:
+                    print(self.delimiter.join([header, f"[{i}]", str(self)]))
+            end = time.time()
+        elapsed = time.time() - start
+        if total:
+            print(
+                f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))} "
+                f"({elapsed / max(total, 1):.4f} s / it)"
+            )
+
+
+class JsonlWriter:
+    """Append-only structured metric log (one JSON object per line)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = open(path, "a", buffering=1)
+
+    def write(self, step: int, **metrics):
+        rec = {"step": int(step)}
+        for k, v in metrics.items():
+            rec[k] = float(v) if isinstance(v, (int, float)) or hasattr(v, "item") else v
+        self._fh.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,228 @@
+"""Train-stack tests: schedule math, optimizer parity with torch, the pjit
+train loop on an 8-device CPU mesh, checkpoint round-trips, and the
+ICI-sharded search."""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from research_image_retrieval_tpu.models import get_model
+from research_image_retrieval_tpu.parallel import (
+    classifier_sharding,
+    make_mesh,
+    sharded_search_topk,
+)
+from research_image_retrieval_tpu.index import search_topk
+from research_image_retrieval_tpu.train import (
+    AverageMeter,
+    CheckpointManager,
+    MetricLogger,
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_sgd_optimizer,
+    make_train_step,
+    warmup_cosine_schedule,
+    weight_decay_mask,
+)
+
+
+class TestSchedule:
+    def test_matches_reference_table(self):
+        """np.linspace warmup + cosine decay, reproduced independently."""
+        warmup_epochs, num_epochs, ipe = 2, 10, 7
+        warmup_lr, base_lr, final_lr = 1e-4, 0.1, 1e-3
+        warmup_iters = warmup_epochs * ipe
+        decay_iters = (num_epochs - warmup_epochs) * ipe
+        table = np.concatenate(
+            [
+                np.linspace(warmup_lr, base_lr, warmup_iters),
+                final_lr
+                + 0.5
+                * (base_lr - final_lr)
+                * (1 + np.cos(math.pi * np.arange(decay_iters) / decay_iters)),
+            ]
+        )
+        sched = warmup_cosine_schedule(
+            warmup_epochs, warmup_lr, num_epochs, base_lr, final_lr, ipe
+        )
+        got = np.array([float(sched(i)) for i in range(len(table))])
+        np.testing.assert_allclose(got, table, rtol=1e-5)
+
+
+class TestOptimizer:
+    def test_mask_excludes_1d(self):
+        params = {"w": jnp.zeros((3, 4)), "b": jnp.zeros((4,)), "bn": {"scale": jnp.zeros((4,))}}
+        mask = weight_decay_mask(params)
+        assert mask["w"] and not mask["b"] and not mask["bn"]["scale"]
+
+    def test_sgd_matches_torch_two_steps(self, rng):
+        w0 = rng.standard_normal((4, 3)).astype(np.float32)
+        g1 = rng.standard_normal((4, 3)).astype(np.float32)
+        g2 = rng.standard_normal((4, 3)).astype(np.float32)
+        lr, mom, wd = 0.1, 0.9, 0.01
+
+        tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+        topt = torch.optim.SGD([tw], lr=lr, momentum=mom, weight_decay=wd, nesterov=True)
+        for g in (g1, g2):
+            topt.zero_grad()
+            tw.grad = torch.from_numpy(g.copy())
+            topt.step()
+
+        tx = make_sgd_optimizer(lr, momentum=mom, weight_decay=wd, nesterov=True)
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        for g in (g1, g2):
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tw.detach().numpy(), rtol=1e-5, atol=1e-6
+        )
+
+    def test_grad_accumulation(self, rng):
+        """update_every=2: params change only every second step."""
+        tx = make_sgd_optimizer(0.1, update_every=2)
+        params = {"w": jnp.ones((2, 2))}
+        state = tx.init(params)
+        g = {"w": jnp.ones((2, 2))}
+        updates, state = tx.update(g, state, params)
+        p1 = optax.apply_updates(params, updates)
+        np.testing.assert_allclose(np.asarray(p1["w"]), 1.0)  # no-op yet
+        updates, state = tx.update(g, state, params)
+        p2 = optax.apply_updates(p1, updates)
+        assert not np.allclose(np.asarray(p2["w"]), 1.0)
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = get_model(
+        "gem_r50", backbone_name="resnet18", outputdim=32, num_classes=8
+    )
+    tx = make_sgd_optimizer(0.05, momentum=0.9, weight_decay=1e-4, clip_max_norm=1.0)
+    rng = np.random.default_rng(0)
+    # separable synthetic batches: per-class constant color + noise
+    colors = rng.uniform(0, 1, (8, 3)).astype(np.float32)
+
+    def batch(bs=16, seed=0):
+        r = np.random.default_rng(seed)
+        y = r.integers(0, 8, bs)
+        x = np.tile(colors[y][:, None, None, :], (1, 32, 32, 1))
+        x += 0.05 * r.standard_normal(x.shape).astype(np.float32)
+        return jnp.asarray(x), jnp.asarray(y)
+
+    return model, tx, batch
+
+
+class TestTrainLoop:
+    def test_loss_decreases_single_device(self, tiny_setup):
+        model, tx, batch = tiny_setup
+        x, y = batch()
+        state = create_train_state(model, jax.random.PRNGKey(0), x, y, tx)
+        step = make_train_step(model, tx, donate=False)
+        losses = []
+        for i in range(25):
+            x, y = batch(seed=i)
+            state, metrics = step(state, x, y)
+            losses.append(float(metrics["loss"]))
+        assert losses[-1] < losses[0] * 0.7, losses
+        assert int(state.step) == 25
+
+    def test_mesh_train_matches_and_shards(self, tiny_setup):
+        model, tx, batch = tiny_setup
+        mesh = make_mesh(data=8, model=1)
+        x, y = batch(bs=16, seed=100)
+        state_m = create_train_state(
+            model, jax.random.PRNGKey(0), x, y, tx, mesh=mesh
+        )
+        # classifier weight is actually sharded over the mesh
+        cls = state_m.params["classifier_w"]
+        assert cls.sharding.is_equivalent_to(classifier_sharding(mesh), cls.ndim)
+
+        step_m = make_train_step(model, tx, mesh=mesh, donate=False)
+        state_s = create_train_state(model, jax.random.PRNGKey(0), x, y, tx)
+        step_s = make_train_step(model, tx, donate=False)
+
+        for i in range(3):
+            x, y = batch(bs=16, seed=200 + i)
+            state_m, mm = step_m(state_m, x, y)
+            state_s, ms = step_s(state_s, x, y)
+            assert float(mm["loss"]) == pytest.approx(float(ms["loss"]), rel=1e-4)
+
+    def test_eval_step(self, tiny_setup):
+        model, tx, batch = tiny_setup
+        x, y = batch()
+        state = create_train_state(model, jax.random.PRNGKey(0), x, y, tx)
+        ev = make_eval_step(model)
+        m = ev(state, x, y)
+        assert np.isfinite(float(m["loss"]))
+        assert 0.0 <= float(m["top1_err"]) <= 100.0
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_retention(self, tiny_setup, tmp_path):
+        model, tx, batch = tiny_setup
+        x, y = batch()
+        state = create_train_state(model, jax.random.PRNGKey(0), x, y, tx)
+        step = make_train_step(model, tx, donate=False)
+        state, _ = step(state, x, y)
+
+        mgr = CheckpointManager(str(tmp_path / "ckpt"), keep_every=5, keep_last=1)
+        for epoch in range(1, 8):
+            mgr.save(epoch, state, metric=10.0 - epoch)
+        kept = mgr._list_epochs()
+        # every 5th kept (5), plus the most recent (7)
+        assert 5 in kept and 7 in kept and 2 not in kept
+
+        restored, ep = mgr.restore(jax.tree.map(np.asarray, state))
+        assert ep == 7
+        np.testing.assert_allclose(
+            np.asarray(restored.params["whiten"]["kernel"]),
+            np.asarray(state.params["whiten"]["kernel"]),
+        )
+        assert int(restored.step) == int(state.step)
+
+        best, _ = mgr.restore(jax.tree.map(np.asarray, state), best=True)
+        assert int(best.step) == int(state.step)
+
+
+class TestShardedSearch:
+    def test_matches_single_device(self, rng):
+        g = rng.standard_normal((256, 32)).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = rng.standard_normal((7, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+        mesh = make_mesh(data=8, model=1)
+        s_ref, i_ref = search_topk(q, g, k=10)
+        s_sh, i_sh = sharded_search_topk(q, g, k=10, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+    def test_non_divisible_gallery(self, rng):
+        g = rng.standard_normal((250, 16)).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = g[:3]
+        mesh = make_mesh(data=8, model=1)
+        s, i = sharded_search_topk(q, g, k=5, mesh=mesh)
+        np.testing.assert_array_equal(np.asarray(i)[:, 0], np.arange(3))
+
+
+class TestMeters:
+    def test_nan_guard(self):
+        m = AverageMeter()
+        m.update(float("nan"))
+        assert m.avg == 10000.0
+
+    def test_logger(self, capsys):
+        ml = MetricLogger()
+        for _ in ml.log_every(range(5), print_freq=2, header=">> t"):
+            ml.update(loss=1.0)
+        out = capsys.readouterr().out
+        assert "loss" in out and "Total time" in out
