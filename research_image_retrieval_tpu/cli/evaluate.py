@@ -1,0 +1,63 @@
+"""Evaluation CLI: extract + rank + Revisited protocol mAP.
+
+Replaces the reference's iris_evaluate.py CLI (reference:
+iris_evaluate.py:267-467) — but evaluates real datasets when present and
+says so clearly when falling back to the synthetic fixture (the reference
+silently evaluated random data under real dataset names).
+
+    python -m research_image_retrieval_tpu.cli.evaluate --model gem_r50 \
+        --datasets roxford5k rparis6k --data-root /data/revisited \
+        --checkpoint ckpt/best --multiscale --alpha-qe
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Revisited-protocol evaluation")
+    p.add_argument("--model", default="gem_r50")
+    p.add_argument("--datasets", nargs="+", default=["roxford5k", "rparis6k"])
+    p.add_argument("--data-root", default="")
+    p.add_argument("--imsize", type=int, default=1024)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--multiscale", action="store_true",
+                   help="3-scale extraction (1, 1/sqrt(2), 1/2)")
+    p.add_argument("--alpha-qe", action="store_true")
+    p.add_argument("--qe-k", type=int, default=10)
+    p.add_argument("--qe-alpha", type=float, default=3.0)
+    p.add_argument("--output", default=None, help="write results JSON here")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from research_image_retrieval_tpu.evaluation.driver import evaluate
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(
+        model=args.model,
+        datasets=tuple(args.datasets),
+        data_root=args.data_root,
+        imsize=args.imsize,
+        checkpoint=args.checkpoint,
+        multiscale=(1.0, 2**-0.5, 0.5) if args.multiscale else (1.0,),
+        alpha_qe=args.alpha_qe,
+        qe_k=args.qe_k,
+        qe_alpha=args.qe_alpha,
+    )
+    results = evaluate(cfg)
+    if args.output:
+        serializable = {
+            k: list(v) if isinstance(v, tuple) else v for k, v in results.items()
+        }
+        with open(args.output, "w") as f:
+            json.dump(serializable, f, indent=2)
+        print(f">> wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""Evaluation image loader: path lists with query bbox crops.
+
+Behavioral contract of the reference loader
+(reference: dataset/ImageFromList.py:30-60): loads each path, optionally
+crops the query bounding box, thumbnails so the max side == imsize, and
+yields variable-resolution single images.  The TPU extraction stack
+(index.extract) buckets these by resolution, so this loader stays simple.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from research_image_retrieval_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    imthumbnail,
+    normalize,
+    rgb_to_bgr,
+)
+
+__all__ = ["ImageFromList", "load_image"]
+
+
+def load_image(path: str) -> np.ndarray:
+    """Load an image file as RGB uint8 HWC."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        from PIL import Image
+
+        return np.asarray(Image.open(path).convert("RGB"))
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+class ImageFromList:
+    """Dataset over a list of image paths (eval-time extraction input).
+
+    Args:
+      paths: image file paths.
+      imsize: max-side thumbnail target (None keeps native resolution).
+      bbxs: optional per-image (x1, y1, x2, y2) crop boxes (query crops).
+      normalize_input: apply ImageNet normalization.
+      bgr: RGB -> BGR for Caffe-pretrained backbones.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        imsize: int | None = None,
+        bbxs: Sequence | None = None,
+        normalize_input: bool = True,
+        bgr: bool = False,
+    ):
+        self.paths = list(paths)
+        self.imsize = imsize
+        self.bbxs = list(bbxs) if bbxs is not None else None
+        self.normalize_input = normalize_input
+        self.bgr = bgr
+
+    def __len__(self):
+        return len(self.paths)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        img = load_image(self.paths[i])
+        if self.bbxs is not None and self.bbxs[i] is not None:
+            x1, y1, x2, y2 = (int(round(v)) for v in self.bbxs[i])
+            img = img[y1:y2, x1:x2]
+        if self.imsize is not None:
+            img = imthumbnail(img, self.imsize)
+        img = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+        if self.normalize_input:
+            img = normalize(img, IMAGENET_MEAN, IMAGENET_STD)
+        if self.bgr:
+            img = rgb_to_bgr(img)
+        return np.ascontiguousarray(img, np.float32)
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]

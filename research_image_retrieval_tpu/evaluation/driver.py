@@ -1,0 +1,116 @@
+"""Evaluation driver: extract -> rank -> Revisited protocol mAP.
+
+The composition the reference leaves implicit across utilities
+(reference: SURVEY.md section 3.2 — RoxfordAndRparis + ImageFromList +
+extract_vectors + ranks + compute_map_and_print), with optional alphaQE.
+Falls back to a synthetic fixture when the dataset directory is missing
+(the reference's mock-data mode, iris_evaluate.py:296-336 — but labeled
+as synthetic here instead of silently faking real datasets).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from research_image_retrieval_tpu.data import (
+    ImageFromList,
+    RevisitedDataset,
+    SyntheticRetrievalDataset,
+    make_synthetic_gnd,
+)
+from research_image_retrieval_tpu.evaluation.revisited import (
+    compute_map_and_print,
+)
+from research_image_retrieval_tpu.index import (
+    alpha_query_expansion,
+    extract_vectors,
+    rank_full,
+)
+from research_image_retrieval_tpu.models import get_model
+from research_image_retrieval_tpu.utils.config import EvalConfig
+
+__all__ = ["evaluate", "evaluate_synthetic"]
+
+
+def _load_model(cfg: EvalConfig, num_classes: int = 81313):
+    import jax.numpy as jnp
+
+    model = get_model(cfg.model, num_classes=num_classes, **cfg.model_overrides)
+    size = min(cfg.imsize, 224)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    if cfg.checkpoint:
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(cfg.checkpoint)
+        )
+        # accept either raw variables or a TrainState-like dict
+        if "params" in restored:
+            variables = {
+                "params": restored["params"],
+                "batch_stats": restored.get("batch_stats", {}),
+            }
+    return model, variables
+
+
+def evaluate(cfg: EvalConfig):
+    """Evaluate on the configured Revisited datasets; returns result dict."""
+    model, variables = _load_model(cfg)
+    extract = lambda x: model.apply(variables, x, method="extract")
+
+    results = {}
+    for dataset in cfg.datasets:
+        gnd_file = os.path.join(cfg.data_root, dataset, f"gnd_{dataset}.pkl")
+        if not os.path.exists(gnd_file):
+            print(f">> {dataset}: dataset not found at {cfg.data_root}; "
+                  "using the SYNTHETIC fixture (clearly not real data)")
+            results[dataset] = evaluate_synthetic(model, variables, cfg)
+            continue
+
+        ds = RevisitedDataset(dataset, cfg.data_root)
+        db_loader = ImageFromList(ds.im_fnames, imsize=cfg.imsize)
+        q_loader = ImageFromList(
+            ds.qim_fnames, imsize=cfg.imsize,
+            bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
+        )
+        vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
+                               print_freq=100)
+        qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
+                                print_freq=100)
+        if cfg.alpha_qe:
+            qvecs = np.asarray(
+                alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
+            )
+        ranks = rank_full(qvecs, vecs)
+        results[dataset] = compute_map_and_print(
+            dataset, "global", "test", ranks, ds.gnd, kappas=list(cfg.kappas)
+        )
+    return results
+
+
+def evaluate_synthetic(model, variables, cfg: EvalConfig):
+    """Deterministic synthetic evaluation (pipeline smoke metric)."""
+    ds = SyntheticRetrievalDataset(
+        num_classes=12, samples_per_class=8,
+        image_size=min(cfg.imsize, 128), seed=7,
+    )
+    imgs, labels = ds.as_arrays()
+    extract = lambda x: model.apply(variables, x, method="extract")
+    vecs = extract_vectors(extract, list(imgs), scales=cfg.multiscale)
+    q_idx = np.arange(0, len(ds), 8)
+    qvecs = vecs[q_idx]
+    if cfg.alpha_qe:
+        qvecs = np.asarray(
+            alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
+        )
+    gnd = make_synthetic_gnd(labels, q_idx)
+    ranks = rank_full(qvecs, vecs)
+    return compute_map_and_print(
+        "roxford5k", "global", "synthetic", ranks, gnd, kappas=list(cfg.kappas)
+    )

@@ -10,6 +10,11 @@ from research_image_retrieval_tpu.index.search import (
     search_topk,
     rank_full,
 )
+from research_image_retrieval_tpu.index.qe import (
+    alpha_query_expansion,
+    IterativeQueryExpansion,
+)
+from research_image_retrieval_tpu.index.gallery import HybridGallery
 
 __all__ = [
     "extract_vectors",
@@ -17,4 +22,7 @@ __all__ = [
     "cosine_similarity",
     "search_topk",
     "rank_full",
+    "alpha_query_expansion",
+    "IterativeQueryExpansion",
+    "HybridGallery",
 ]

@@ -24,6 +24,20 @@ from research_image_retrieval_tpu.models.registry import (
 
 # import model modules for their registration side effects
 from research_image_retrieval_tpu.models.gem import GeMModel  # noqa: E402
+from research_image_retrieval_tpu.models.token import TokenModel  # noqa: E402
+from research_image_retrieval_tpu.models.dolg import DOLGModel  # noqa: E402
+from research_image_retrieval_tpu.models.solar import SOLARModel  # noqa: E402
+from research_image_retrieval_tpu.models.delg import DELGModel  # noqa: E402
+from research_image_retrieval_tpu.models.how import HOWModel  # noqa: E402
+from research_image_retrieval_tpu.models.sosnet import SoSNetModel  # noqa: E402
+from research_image_retrieval_tpu.models.spoc import SpoCModel  # noqa: E402
+from research_image_retrieval_tpu.models.senet_g2 import SENetG2Model  # noqa: E402
+from research_image_retrieval_tpu.models.spca import SpCaModel  # noqa: E402
+from research_image_retrieval_tpu.models.ultron import ULTRONRetrievalModel  # noqa: E402
+from research_image_retrieval_tpu.models.adaptive_hybrid import (  # noqa: E402
+    AdaptiveHybridModel,
+    QAFF,
+)
 
 __all__ = [
     "ResNet",

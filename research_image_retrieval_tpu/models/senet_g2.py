@@ -1,0 +1,129 @@
+"""SENet-G2+: scratch SE-ResNet backbone with learnable-affine GeM pooling.
+
+Behavioral contract of the reference (models/senet_g2.py:12-275): an
+SE-Bottleneck ResNet (squeeze-and-excitation channel gating after conv3 of
+every bottleneck), G2+ pooling (GeM with learnable power p plus learnable
+affine alpha*. + beta), linear projection, CE classifier.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+
+__all__ = ["SENetG2Model", "SEBottleneck"]
+
+
+class SEBlock(nn.Module):
+    """Squeeze-and-excitation gate (reference: models/senet_g2.py:12-29)."""
+
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        y = jnp.mean(x, axis=(1, 2))  # [B, C]
+        y = nn.relu(nn.Dense(C // self.reduction, use_bias=False, name="fc1")(y))
+        y = jax.nn.sigmoid(nn.Dense(C, use_bias=False, name="fc2")(y))
+        return x * y[:, None, None, :]
+
+
+class SEBottleneck(nn.Module):
+    """SE bottleneck block (reference: models/senet_g2.py:32-72)."""
+
+    width: int
+    stride: int = 1
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_ch = self.width * 4
+        norm = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        )
+        idt = x
+        y = nn.relu(norm("bn1")(nn.Conv(self.width, (1, 1), use_bias=False,
+                                        name="conv1")(x)))
+        y = nn.relu(
+            norm("bn2")(
+                nn.Conv(self.width, (3, 3), strides=(self.stride,) * 2,
+                        padding=1, use_bias=False, name="conv2")(y)
+            )
+        )
+        y = norm("bn3")(nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y))
+        y = SEBlock(self.reduction, name="se")(y)
+        if idt.shape[-1] != out_ch or self.stride != 1:
+            idt = norm("down_bn")(
+                nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
+                        use_bias=False, name="down_conv")(idt)
+            )
+        return nn.relu(y + idt)
+
+
+class SENetG2Model(nn.Module):
+    """SE-ResNet + G2+ pooling (reference: models/senet_g2.py:156-230)."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    outputdim: int = 2048
+    num_classes: int = 81313
+    reduction: int = 16
+    gem_p: float = 3.0
+    bn_axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.stem_conv = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                                 use_bias=False, name="conv1")
+        self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="bn1")
+        blocks = []
+        for i, (d, w) in enumerate(zip(self.layers, (64, 128, 256, 512))):
+            for j in range(d):
+                blocks.append(
+                    SEBottleneck(
+                        width=w,
+                        stride=2 if (j == 0 and i > 0) else 1,
+                        reduction=self.reduction,
+                        name=f"layer{i + 1}_{j}",
+                    )
+                )
+        self.blocks = blocks
+        self.p_param = self.param(
+            "gem_p", lambda _: jnp.asarray([self.gem_p], jnp.float32)
+        )
+        self.g2_alpha = self.param("g2_alpha", nn.initializers.ones, (1,))
+        self.g2_beta = self.param("g2_beta", nn.initializers.zeros, (1,))
+        self.feature_proj = nn.Dense(self.outputdim, name="feature_proj")
+        self.classifier = nn.Dense(self.num_classes, name="classifier")
+
+    def _features(self, x, train: bool):
+        y = nn.relu(self.stem_bn(self.stem_conv(x),
+                                 use_running_average=not train))
+        y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        for block in self.blocks:
+            y = block(y, train=train)
+        # G2+ pooling: GeM(learnable p) then learnable affine
+        pooled = self.g2_alpha * gem_pool(y, p=self.p_param) + self.g2_beta
+        return self.feature_proj(pooled)
+
+    def __call__(self, x, labels, train: bool = True):
+        feat = self._features(x, train)
+        logits = self.classifier(feat)
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        return l2_normalize(self._features(x, train=False))
+
+
+register_model(
+    "senet_g2_r50",
+    description="SE-ResNet50 with G2+ learnable-affine GeM pooling (reference models/senet_g2.py:156)",
+    defaults=dict(layers=(3, 4, 6, 3)),
+    family="senet_g2",
+    table1_names=("SENet-G2+",),
+)(SENetG2Model)

@@ -1,0 +1,102 @@
+"""SoSNet: second-order (covariance) pooling retrieval model.
+
+Behavioral contract of the reference (models/sosnet.py:12-236): optional
+per-position similarity attention (MLP -> sigmoid), 1x1 projection to
+``second_order_dim``, covariance over HW tokens (unbiased, N-1), upper-tri
+flatten (C*(C+1)/2), L2 normalize, then a 2-layer MLP projection with
+dropout and a CE classifier.
+
+The covariance is one batched MXU matmul over tokens; the upper-tri gather
+uses a precomputed static index set.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import cross_entropy, l2_normalize
+
+__all__ = ["SoSNetModel", "second_order_pool"]
+
+
+def second_order_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """Upper-triangular covariance descriptor of an NHWC map.
+
+    x: [B, H, W, C] -> [B, C*(C+1)/2], L2-normalized
+    (reference: models/sosnet.py:27-55).
+    """
+    B, H, W, C = x.shape
+    n = H * W
+    tokens = x.reshape(B, n, C)
+    centered = tokens - jnp.mean(tokens, axis=1, keepdims=True)
+    cov = jnp.einsum(
+        "bnc,bnd->bcd", centered, centered, preferred_element_type=jnp.float32
+    ) / max(n - 1, 1)
+    iu = np.triu_indices(C)
+    flat = cov[:, iu[0], iu[1]]
+    return l2_normalize(flat, axis=-1)
+
+
+class SoSNetModel(nn.Module):
+    """SoSNet (reference: models/sosnet.py:95-236)."""
+
+    backbone_name: str = "resnet50"
+    outputdim: int = 2048
+    second_order_dim: int = 512
+    num_classes: int = 81313
+    use_attention: bool = True
+    dropout: float = 0.5
+    bn_axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            name_=self.backbone_name,
+            out_stages=(5,),
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+        )
+        self.so_proj = nn.Conv(self.second_order_dim, (1, 1), name="so_proj")
+        self.attn_fc1 = nn.Dense(512, name="attn_fc1")
+        self.attn_fc2 = nn.Dense(256, name="attn_fc2")
+        self.attn_fc3 = nn.Dense(1, name="attn_fc3")
+        self.proj_fc1 = nn.Dense(self.outputdim, name="proj_fc1")
+        self.proj_fc2 = nn.Dense(self.outputdim, name="proj_fc2")
+        self.drop = nn.Dropout(self.dropout)
+        self.classifier = nn.Dense(self.num_classes, name="classifier")
+
+    def _features(self, x, train: bool):
+        fmap = self.backbone(x, train=train)
+        if self.use_attention:
+            a = nn.relu(self.attn_fc1(fmap))
+            a = nn.relu(self.attn_fc2(a))
+            a = jax.nn.sigmoid(self.attn_fc3(a))  # [B, H, W, 1]
+            fmap = fmap * a
+        so = second_order_pool(self.so_proj(fmap))
+        h = nn.relu(self.proj_fc1(so))
+        h = self.drop(h, deterministic=not train)
+        return self.proj_fc2(h)
+
+    def __call__(self, x, labels, train: bool = True):
+        feat = self._features(x, train)
+        logits = self.classifier(feat)
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        return l2_normalize(self._features(x, train=False))
+
+
+register_model(
+    "sosnet_r50",
+    description="SoSNet second-order covariance pooling (reference models/sosnet.py:95)",
+    defaults=dict(backbone_name="resnet50", second_order_dim=128),
+    family="sosnet",
+    table1_names=("R50-SoSNet",),
+)(SoSNetModel)

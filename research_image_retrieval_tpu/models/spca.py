@@ -1,0 +1,317 @@
+"""SpCa: spatial-context aggregation (the reference repo's main method).
+
+Behavioral contract of the reference (networks/spca.py:18-358):
+
+* ``SpcaLayer`` — a learnable GMM-style codebook (K x local_dim with pi and
+  per-cluster variance): soft-assignment attention over HW tokens from
+  log(pi/sqrt(cov)) - ||x - LN(template)||^2 / (2 cov); HW-normalized
+  attention builds spatial-context features OutP by contracting with
+  distance-encoding matrix powers, LayerNorm'd per channel.
+  NOTE: the reference also computes EM-style updates of templates/pi/cov
+  scaled by gamma^(iter^0.6) (spca.py:139-151) — those results are never
+  used by the output or loss (the layer returns only OutP and attn), so
+  they are pure dead compute; this implementation keeps the live path
+  only, producing identical outputs and gradients.
+* Distance encoding (spca.py:182-202): pairwise coordinate distances ->
+  exp(-sqrt(d)) -> row-normalized transition matrix A; masks are
+  A^2 .. A^(multi+1).  The reference materializes a per-sample [B, HW, HW]
+  copy; here one [HW, HW] matrix is shared across the batch (identical
+  math, B-fold less memory).
+* Five pluggable fusers (spca.py:228-358): cross-attention ('cro'),
+  concat-MLP ('cat'), Hadamard outer product ('had'), orthogonal fusion
+  ('orth'), decoder block ('dec'); then GeM -> whiten -> ArcFace
+  ('orth' whitens the pooled vector directly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.layers import Attention, Mlp
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import (
+    arcface_logits,
+    avg_pool_all,
+    cross_entropy,
+    gem_pool,
+    l2_normalize,
+)
+
+__all__ = ["SpCaModel", "SpcaLayer", "distance_encoding_masks"]
+
+
+@functools.lru_cache(maxsize=32)
+def _coord_distance(H: int, W: int):
+    """Pairwise squared coordinate distances, cached per resolution."""
+    import numpy as np
+
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    coord = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float32)
+    inner = -2.0 * coord @ coord.T
+    sq = np.sum(coord * coord, axis=1, keepdims=True)
+    return sq + inner + sq.T  # [HW, HW]
+
+
+def distance_encoding_masks(H: int, W: int, multi: int):
+    """Row-normalized distance-transition powers A^2 .. A^(multi+1).
+
+    Matches reference distance_encoding_m (spca.py:192-202); one [HW, HW]
+    matrix shared by the whole batch.
+    """
+    d2 = jnp.asarray(_coord_distance(H, W))
+    mask = jnp.exp(-jnp.sqrt(jnp.abs(d2)))
+    A = mask / jnp.sum(mask, axis=1, keepdims=True)
+    out = []
+    M = jnp.matmul(A, A, preferred_element_type=jnp.float32)
+    out.append(M)
+    for _ in range(multi - 1):
+        M = jnp.matmul(M, A, preferred_element_type=jnp.float32)
+        out.append(M)
+    return out
+
+
+class SpcaLayer(nn.Module):
+    """GMM soft-assignment + spatial-context features
+    (reference: networks/spca.py:97-180)."""
+
+    K: int = 16
+    local_dim: int = 128
+    multi: int = 1
+
+    @nn.compact
+    def __call__(self, g_fea):
+        B, H, W, _ = g_fea.shape
+        x = nn.Conv(self.local_dim, (1, 1), use_bias=False, name="proj_kv")(g_fea)
+        x = x.reshape(B, H * W, self.local_dim)
+
+        clusters = self.param(
+            "clusters", nn.initializers.xavier_uniform(),
+            (1, self.K, self.local_dim),
+        )
+        pi = self.param(
+            "pi", lambda _: jnp.full((1, self.K), 1.0 / self.K, jnp.float32)
+        )
+        cov = self.param("cov", nn.initializers.ones, (1, self.K))
+
+        templates = nn.LayerNorm(name="norm_templates")(clusters)  # [1, K, D]
+        # ||x - t||^2 over feature dim: [B, HW, K]
+        sq = (
+            jnp.sum(x**2, -1, keepdims=True)
+            - 2.0 * jnp.einsum("bnd,okd->bnk", x, templates,
+                               preferred_element_type=jnp.float32)
+            + jnp.sum(templates**2, -1)
+        )
+        attn_logits = jnp.log(pi / jnp.sqrt(cov))[:, None, :] - sq / cov[:, None, :] / 2.0
+        attn = jax.nn.softmax(attn_logits, axis=-1)  # [B, HW, K]
+
+        attn_ = attn + 1e-8
+        attn_ = attn_ / jnp.sum(attn_, axis=-2, keepdims=True)  # L1 over HW
+
+        masks = distance_encoding_masks(H, W, self.multi)
+        parts = [
+            jnp.einsum("bnk,nm->bkm", attn_, m,
+                       preferred_element_type=jnp.float32)
+            for m in masks
+        ]
+        outp = jnp.concatenate(parts, axis=1)  # [B, K*multi, HW]
+        outp = nn.LayerNorm(name="p_norm")(outp.transpose(0, 2, 1))  # over ch
+        outp = outp.reshape(B, H, W, self.K * self.multi)
+        attn_map = attn.reshape(B, H, W, self.K)
+        return outp, attn_map
+
+
+class CrossAttnFuser(nn.Module):
+    """'cro' fuser (reference: spca.py:259-286)."""
+
+    dim: int
+    inputdim: int
+
+    @nn.compact
+    def __call__(self, q_map, x_map, deterministic: bool = True):
+        B, H, W, C = q_map.shape
+        q = q_map.reshape(B, H * W, C)
+        x = x_map.reshape(B, H * W, x_map.shape[-1])
+        q_ln = nn.LayerNorm(name="ln")(q)
+        x = nn.Dense(self.dim, name="proj")(x)
+        q = q + Attention(self.dim, 8, qkv_bias=True, name="cross_attn")(
+            q_ln, x, x, deterministic
+        )
+        q = q + Mlp(2 * self.dim, self.dim, name="mlp")(q, deterministic)
+        return q.reshape(B, H, W, C)
+
+
+class ConcatFuser(nn.Module):
+    """'cat' fuser (reference: spca.py:288-308) — output has 2*dim channels."""
+
+    dim: int
+    inputdim: int
+
+    @nn.compact
+    def __call__(self, q_map, x_map, deterministic: bool = True):
+        B, H, W, C = q_map.shape
+        q = nn.LayerNorm(name="bn1")(q_map.reshape(B, H * W, C))
+        x = nn.Dense(self.dim, name="proj")(
+            x_map.reshape(B, H * W, x_map.shape[-1])
+        )
+        x = nn.LayerNorm(name="bn2")(x)
+        qx = jnp.concatenate([q, x], axis=2)
+        qx = qx + Mlp(4 * self.dim, 2 * self.dim, name="mlp")(qx, deterministic)
+        return qx.reshape(B, H, W, 2 * C)
+
+
+class HadamardFuser(nn.Module):
+    """'had' fuser (reference: spca.py:310-330) — outer-product channels."""
+
+    dim: int
+    inputdim: int
+
+    @nn.compact
+    def __call__(self, q_map, x_map, deterministic: bool = True):
+        B, H, W, C = q_map.shape
+        q = nn.Dense(self.dim // 4, name="proj")(q_map.reshape(B, H * W, C))
+        q = nn.LayerNorm(name="bn1")(q)
+        x = nn.LayerNorm(name="bn2")(
+            x_map.reshape(B, H * W, x_map.shape[-1])
+        )
+        out = jnp.einsum("bnc,bnd->bncd", q, x,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(B, H * W, -1)
+        return out.reshape(B, H, W, out.shape[-1])
+
+
+class OrthogonalFuser(nn.Module):
+    """'orth' fuser (reference: spca.py:332-358) — returns a pooled VECTOR."""
+
+    dim: int
+    inputdim: int
+
+    @nn.compact
+    def __call__(self, g_map, l_map, deterministic: bool = True):
+        half = self.dim // 2
+        fg = nn.Dense(half, name="fc_t")(gem_pool(g_map, p=3.0))  # [B, dim/2]
+        fl = nn.Conv(half, (1, 1), name="fc")(l_map)  # [B, H, W, dim/2]
+        fg_sq = jnp.sum(fg * fg, axis=-1, keepdims=True)
+        coef = jnp.einsum("bhwc,bc->bhw", fl, fg,
+                          preferred_element_type=jnp.float32)
+        proj = coef[..., None] * fg[:, None, None, :] / fg_sq[:, None, None, :]
+        fo = avg_pool_all(fl - proj)
+        return jnp.concatenate([fg, fo], axis=-1)  # [B, dim]
+
+
+class DecoderFuser(nn.Module):
+    """'dec' fuser (reference: spca.py:229-257)."""
+
+    dim: int
+    inputdim: int
+
+    @nn.compact
+    def __call__(self, q_map, x_map, deterministic: bool = True):
+        B, H, W, C = q_map.shape
+        q = q_map.reshape(B, H * W, C)
+        x = nn.Dense(self.dim, name="proj_fc")(
+            x_map.reshape(B, H * W, x_map.shape[-1])
+        )
+        x = nn.LayerNorm(name="proj_ln")(x)
+        cross = Attention(self.dim, 8, qkv_bias=True, name="cross_attn")
+        self_a = Attention(self.dim, 8, qkv_bias=True, name="self_attn")
+        mlp = Mlp(2 * self.dim, self.dim, name="mlp")
+        q_bn = nn.LayerNorm(name="bn1")(q)
+        q = q + cross(q_bn, x, x, deterministic)
+        q = q + mlp(q, deterministic)
+        q_bn = nn.LayerNorm(name="bn2")(q)
+        q = q + self_a(q_bn, q_bn, q_bn, deterministic)
+        return q.reshape(B, H, W, C)
+
+
+_FUSERS = {
+    "cro": CrossAttnFuser,
+    "fur": CrossAttnFuser,  # reference Fuser_ shares the Fuser architecture
+    "cat": ConcatFuser,
+    "had": HadamardFuser,
+    "orth": OrthogonalFuser,
+    "dec": DecoderFuser,
+}
+
+
+class SpCaModel(nn.Module):
+    """SpCa = backbone + SpcaLayer + fuser + GeM + whiten + ArcFace
+    (reference: networks/spca.py:18-95)."""
+
+    backbone_name: str = "resnet101"
+    outputdim: int = 2048
+    num_classes: int = 81313
+    K: int = 16
+    local_dim: int = 128
+    multi: int = 1
+    combine: str = "cro"
+    s: float = 45.0
+    m: float = 0.2
+    mediumdim: int = 2048
+    bn_axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        key = self.combine[:3] if not self.combine.startswith("orth") else "orth"
+        if key not in _FUSERS:
+            raise ValueError(f"Unseen fusion scheme: {self.combine}")
+        self.backbone = ResNet(
+            name_=self.backbone_name,
+            out_stages=(5,),
+            bn_axis_name=self.bn_axis_name,
+            dtype=self.dtype,
+        )
+        self.pos_branch = SpcaLayer(
+            K=self.K, local_dim=self.local_dim, multi=self.multi
+        )
+        self.fuser = _FUSERS[key](
+            dim=self.mediumdim, inputdim=self.K * self.multi, name="fuser"
+        )
+        self.whiten = nn.Dense(self.outputdim, name="whiten")
+        self.classifier_w = self.param(
+            "classifier_w",
+            nn.initializers.xavier_uniform(),
+            (self.num_classes, self.outputdim),
+        )
+
+    def _descriptor(self, x, train: bool):
+        g_fea = self.backbone(x, train=train)
+        p_fea, _attn = self.pos_branch(g_fea)
+        fused = self.fuser(g_fea, p_fea, deterministic=not train)
+        if self.combine.startswith("orth"):
+            return self.whiten(fused)  # fuser already pooled to a vector
+        return self.whiten(gem_pool(fused, p=3.0))
+
+    def __call__(self, x, labels, train: bool = True):
+        feat = self._descriptor(x, train)
+        logits = arcface_logits(
+            feat, self.classifier_w, labels, s=self.s, m=self.m
+        )
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        return l2_normalize(self._descriptor(x, train=False))
+
+
+register_model(
+    "spca_r101",
+    description="SpCa spatial-context aggregation over ResNet101 (reference networks/spca.py:18)",
+    defaults=dict(backbone_name="resnet101", outputdim=2048, K=16,
+                  local_dim=128, multi=1, combine="cro"),
+    family="spca",
+    paper="SpCa (the reference repo's primary method)",
+    table1_names=("R101-SpCa",),
+)(SpCaModel)
+
+register_model(
+    "spca_r50",
+    description="SpCa over ResNet50",
+    defaults=dict(backbone_name="resnet50", outputdim=2048, K=16,
+                  local_dim=128, multi=1, combine="cro"),
+    family="spca",
+)(SpCaModel)

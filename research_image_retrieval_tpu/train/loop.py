@@ -34,6 +34,8 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # dropout/drop-path RNG key, split every step (resume-exact)
+    rng: Any = None
     # extra mutable model state (e.g. ArcFace-DELG EMA t) — optional pytree
     model_state: Any = None
 
@@ -47,7 +49,10 @@ def create_train_state(
     mesh=None,
 ) -> TrainState:
     """Initialize variables + optimizer state, placed per sharding rules."""
-    variables = model.init(rng, sample_images, labels=sample_labels, train=False)
+    init_rng, train_rng = jax.random.split(rng)
+    variables = model.init(
+        init_rng, sample_images, labels=sample_labels, train=False
+    )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     state = TrainState(
@@ -55,6 +60,7 @@ def create_train_state(
         params=params,
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
+        rng=train_rng,
         model_state=variables.get("model_state", None),
     )
     if mesh is not None:
@@ -78,17 +84,20 @@ def make_train_step(
     follows its placement shardings; XLA inserts the gradient all-reduce.
     """
 
-    def loss_fn(params, batch_stats, images, labels):
+    def loss_fn(params, batch_stats, images, labels, dropout_rng):
         variables = {"params": params, "batch_stats": batch_stats}
         (loss, logits), mutated = model.apply(
-            variables, images, labels=labels, train=True, mutable=["batch_stats"]
+            variables, images, labels=labels, train=True,
+            mutable=["batch_stats"], rngs={"dropout": dropout_rng},
         )
         return loss, (logits, mutated["batch_stats"])
 
     def step_fn(state: TrainState, images, labels):
+        rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
+        new_rng, dropout_rng = jax.random.split(rng)
         (loss, (logits, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, labels)
+        )(state.params, state.batch_stats, images, labels, dropout_rng)
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         e1, e5 = topk_errors(logits, labels, ks=(1, 5))
@@ -103,6 +112,7 @@ def make_train_step(
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            rng=new_rng,
         )
         return new_state, metrics
 

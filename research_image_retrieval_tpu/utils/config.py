@@ -1,0 +1,124 @@
+"""Declarative config tree with per-model presets.
+
+Replaces the reference's argparse + meta.yml + 16 launcher shell scripts
+(reference: config/__init__.py:5-89, config/meta.yml, src/benchmark/*.sh):
+every experiment is a (TrainConfig, model preset) pair; the CLI maps flags
+onto these dataclasses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+__all__ = ["TrainConfig", "EvalConfig", "PRESETS", "get_preset"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training hyperparameters (defaults mirror config/__init__.py)."""
+
+    model: str = "gem_r50"
+    model_overrides: dict = dataclasses.field(default_factory=dict)
+
+    # data
+    data_root: str = ""
+    csv_path: str = ""
+    imsize: int = 512
+    batch_size: int = 128
+    num_workers: int = 8
+    seed: int = 11
+    val_per_class: int = 1
+
+    # optimization (reference defaults: spca_train/config)
+    optimizer: str = "sgd"  # or "adamw", "adamw_then_sgd" (ULTRON)
+    base_lr: float = 0.01
+    final_lr: float = 1e-6
+    warmup_lr: float = 1e-6
+    warmup_epochs: int = 1
+    num_epochs: int = 100
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    clip_max_norm: float = 1.0
+    update_every: int = 1  # gradient accumulation
+    switch_epoch: int = 5  # optimizer hand-off epoch for adamw_then_sgd
+
+    # parallelism
+    data_parallel: int | None = None  # default: all devices
+    model_parallel: int = 1
+
+    # checkpointing / logging
+    directory: str = "checkpoints"
+    save_freq: int = 1
+    keep_every: int = 5
+    val_epoch: int = 1
+    print_freq: int = 200
+    resume: str | None = None
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    """Extraction + Revisited evaluation settings."""
+
+    model: str = "gem_r50"
+    model_overrides: dict = dataclasses.field(default_factory=dict)
+    datasets: tuple = ("roxford5k", "rparis6k")
+    data_root: str = ""
+    imsize: int = 1024
+    multiscale: tuple = (1.0,)  # or (1.0, 2**-0.5, 0.5)
+    checkpoint: str | None = None
+    kappas: tuple = (1, 5, 10)
+    alpha_qe: bool = False
+    qe_k: int = 10
+    qe_alpha: float = 3.0
+
+
+# Per-model experiment presets: the declarative replacement for the
+# reference's *_training.sh launcher scripts.
+PRESETS: dict[str, dict[str, Any]] = {
+    "gem_r50": dict(
+        model="gem_r50", optimizer="sgd", base_lr=0.01, num_epochs=100,
+        model_overrides=dict(s=32.0, m=0.15),
+    ),
+    "gem_r101": dict(model="gem_r101", optimizer="sgd", base_lr=0.01),
+    "token_r101": dict(
+        model="token_r101", optimizer="sgd", base_lr=0.01,
+    ),
+    "spca_r101": dict(
+        # reference spca_training_example.sh + config/meta.yml defaults
+        model="spca_r101", optimizer="sgd", base_lr=0.01,
+        model_overrides=dict(K=16, local_dim=128, multi=1, combine="cro",
+                             outputdim=2048, s=45.0, m=0.2),
+    ),
+    "dolg_r101": dict(
+        model="dolg_r101", optimizer="sgd", base_lr=0.01,
+        model_overrides=dict(s=30.0, m=0.15),
+    ),
+    "solar_r101": dict(model="solar_r101", optimizer="sgd", base_lr=0.01),
+    "delg_r50": dict(model="delg_r50", optimizer="adamw", base_lr=1e-3),
+    "how_vlad_r50": dict(model="how_vlad_r50", optimizer="adamw", base_lr=1e-3),
+    "how_asmk_r50": dict(model="how_asmk_r50", optimizer="adamw", base_lr=1e-3),
+    "sosnet_r50": dict(model="sosnet_r50", optimizer="adamw", base_lr=1e-3),
+    "spoc_r50": dict(model="spoc_r50", optimizer="sgd", base_lr=0.01),
+    "senet_g2_r50": dict(model="senet_g2_r50", optimizer="sgd", base_lr=0.01),
+    "ultron_s": dict(
+        # ULTRON paper schedule: AdamW(1e-3) x5 -> SGD(1e-2 cosine) x35
+        model="ultron_s", optimizer="adamw_then_sgd", base_lr=1e-3,
+        num_epochs=40, switch_epoch=5, batch_size=128, imsize=512,
+        clip_max_norm=1.0, weight_decay=0.05,
+    ),
+    "adaptive_hybrid_r50": dict(
+        model="adaptive_hybrid_r50", optimizer="adamw", base_lr=1e-3,
+        num_epochs=8,
+    ),
+}
+
+
+def get_preset(name: str, **overrides) -> TrainConfig:
+    """Build a TrainConfig from a preset name plus overrides."""
+    if name not in PRESETS:
+        raise KeyError(f"Unknown preset '{name}'. Available: {sorted(PRESETS)}")
+    cfg = dict(PRESETS[name])
+    model_overrides = {**cfg.pop("model_overrides", {}),
+                       **overrides.pop("model_overrides", {})}
+    return TrainConfig(model_overrides=model_overrides, **{**cfg, **overrides})
