@@ -3,10 +3,13 @@
 Runs on the default JAX platform (the real TPU under the driver).  Prints
 ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  Baseline is the
 driver target of 2000 images/sec/chip (BASELINE.json).
+
+Timing uses the chained-dependency slope method (utils.benchtime): on this
+rig block_until_ready acks asynchronously through the remote tunnel, so
+naive timing measures dispatch latency, not execution.
 """
 
 import json
-import time
 
 import numpy as np
 
@@ -17,7 +20,11 @@ BASELINE_IMGS_PER_SEC = 2000.0
 
 
 def main():
+    import sys, os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from research_image_retrieval_tpu.models import get_model
+    from research_image_retrieval_tpu.utils.benchtime import timed_slope
 
     model = get_model("gem_r50", num_classes=1024, dtype=jnp.bfloat16)
     batch, size = 64, 224
@@ -34,20 +41,8 @@ def main():
     def extract(x):
         return model.apply(variables, x, method="extract")
 
-    # compile + warmup
-    extract(images).block_until_ready()
-    t0 = time.perf_counter()
-    extract(images).block_until_ready()
-    warm = time.perf_counter() - t0
-
-    iters = max(3, int(2.0 / max(warm, 1e-3)))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = extract(images)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    imgs_per_sec = batch * iters / dt
+    sec_per_step = timed_slope(extract, images, n_small=3, n_large=13)
+    imgs_per_sec = batch / sec_per_step
     print(
         json.dumps(
             {

@@ -1,0 +1,180 @@
+"""ctypes bindings for the native (C++) JPEG decode core.
+
+Builds ``native/rir_decoder.cc`` on first use into a per-repo cache and
+loads it via ctypes (no pybind11 in this environment).  Decoding happens
+outside the GIL with DCT-domain prescaling, which is the throughput lever
+for the >=2k images/sec/chip extraction target (BASELINE.json): a Python
+thread pool plus this decoder keeps all host cores busy.
+
+Falls back to cv2/PIL decoding when the toolchain or libjpeg is missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+__all__ = ["native_available", "decode_jpeg", "decode_jpeg_batch",
+           "NativeDecoder"]
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "native", "rir_decoder.cc")
+_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
+_LIB = os.path.join(_LIB_DIR, "librir_decoder.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC,
+        "-ljpeg", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return False
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        if not os.path.exists(_LIB) or (
+            os.path.exists(_SRC)
+            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        lib = ctypes.CDLL(_LIB)
+        lib.rir_decode_jpeg.restype = ctypes.c_int
+        lib.rir_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.rir_jpeg_dims.restype = ctypes.c_int
+        lib.rir_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.rir_decode_batch.restype = None
+        lib.rir_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _fallback_decode(data: bytes) -> np.ndarray:
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError("undecodable JPEG data")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+
+
+def decode_jpeg(data: bytes, max_side: int = 0) -> np.ndarray:
+    """Decode JPEG bytes to RGB uint8 [H, W, 3].
+
+    max_side > 0 enables DCT prescaling: the output's max side is the
+    smallest 1/2^k scaling still >= max_side (final exact resizing is the
+    caller's choice).
+    """
+    lib = _load()
+    if lib is None:
+        return _fallback_decode(data)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.rir_jpeg_dims(data, len(data), max_side, ctypes.byref(h),
+                           ctypes.byref(w))
+    if rc != 0:
+        return _fallback_decode(data)
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.rir_decode_jpeg(
+        data, len(data), out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+        ctypes.byref(h), ctypes.byref(w), max_side,
+    )
+    if rc != 0:
+        return _fallback_decode(data)
+    return out
+
+
+def decode_jpeg_batch(datas: list[bytes], max_side: int = 0,
+                      num_threads: int = 8) -> list[np.ndarray]:
+    """Decode a batch of JPEGs in parallel native threads (GIL-free)."""
+    lib = _load()
+    if lib is None:
+        return [_fallback_decode(d) for d in datas]
+    n = len(datas)
+    if n == 0:
+        return []
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    status = (ctypes.c_int * n)()
+    # probe dims to size output buffers
+    outs: list[np.ndarray] = []
+    for d in datas:
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        rc = lib.rir_jpeg_dims(d, len(d), max_side, ctypes.byref(h),
+                               ctypes.byref(w))
+        if rc != 0:
+            h.value, w.value = 1, 1  # decode will fail; fallback below
+        outs.append(np.empty((max(h.value, 1), max(w.value, 1), 3), np.uint8))
+
+    data_ptrs = (ctypes.c_char_p * n)(*datas)
+    len_arr = (ctypes.c_size_t * n)(*[len(d) for d in datas])
+    out_ptrs = (ctypes.c_void_p * n)(
+        *[o.ctypes.data_as(ctypes.c_void_p).value for o in outs]
+    )
+    caps = (ctypes.c_int * n)(*[o.nbytes for o in outs])
+    lib.rir_decode_batch(
+        data_ptrs, len_arr, out_ptrs, caps, hs, ws, status, n, max_side,
+        num_threads,
+    )
+    result = []
+    for i in range(n):
+        if status[i] != 0:
+            result.append(_fallback_decode(datas[i]))
+        else:
+            result.append(outs[i][: hs[i], : ws[i]])
+    return result
+
+
+class NativeDecoder:
+    """Transform-compatible decoder: bytes -> RGB array with prescale."""
+
+    def __init__(self, max_side: int = 0):
+        self.max_side = max_side
+
+    def __call__(self, data: bytes) -> np.ndarray:
+        return decode_jpeg(data, self.max_side)

@@ -15,3 +15,10 @@ __all__ = [
     "evaluate_revisited",
     "RevisitedResult",
 ]
+
+
+def evaluate(cfg):
+    """Convenience forwarder to the evaluation driver (lazy import)."""
+    from research_image_retrieval_tpu.evaluation.driver import evaluate as _ev
+
+    return _ev(cfg)

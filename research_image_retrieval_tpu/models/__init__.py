@@ -38,6 +38,12 @@ from research_image_retrieval_tpu.models.adaptive_hybrid import (  # noqa: E402
     AdaptiveHybridModel,
     QAFF,
 )
+from research_image_retrieval_tpu.models.vit import ViTGlobalModel  # noqa: E402
+from research_image_retrieval_tpu.models.iris import IRISModel  # noqa: E402
+from research_image_retrieval_tpu.models.sparse import SparseRetrievalModel  # noqa: E402
+from research_image_retrieval_tpu.models.hamlet import HAMLETModel  # noqa: E402
+from research_image_retrieval_tpu.models.spectrum import SPECTRUMModel  # noqa: E402
+from research_image_retrieval_tpu.models.cvnet import CVNetRerank  # noqa: E402
 
 __all__ = [
     "ResNet",

@@ -85,6 +85,25 @@ class GeMModel(nn.Module):
         """Extraction forward: L2-normalized global descriptor."""
         return l2_normalize(self._descriptor(x, train=False, valid_hw=valid_hw))
 
+    def extract_fused(self, x, valid_hw=None):
+        """Extraction via the fused GeM+whiten+L2 Pallas kernel.
+
+        Identical numerics to ``extract`` (see tests/test_gem_pallas.py);
+        the pooled/projected intermediates never leave VMEM.  TPU only —
+        use ``extract`` elsewhere.
+        """
+        from research_image_retrieval_tpu.ops.gem_pallas import (
+            pallas_gem_whiten_l2,
+        )
+
+        fmap = self.backbone(x, train=False)
+        p = float(self.p) if not self.learnable_p else self.p_param[0]
+        kernel = self.whiten.variables["params"]["kernel"]
+        bias = self.whiten.variables["params"]["bias"]
+        return pallas_gem_whiten_l2(
+            fmap, kernel, bias, p=p, valid_hw=valid_hw
+        )
+
 
 register_model(
     "gem_r50",

@@ -1,0 +1,156 @@
+"""HAMLET: hierarchical multi-scale features with cross-scale attention (P2).
+
+Behavioral contract of the reference prototype
+(reference: manus/2_HAMLET/hamlet_model.py:7-607): hierarchical feature
+extraction from backbone stages, adaptive cross-scale attention (each
+scale attends over the others after resize + projection), a
+context-enhanced conv module, hierarchical fusion into a global
+representation, optional multimodal (text) distillation head, and
+HAMLETLoss = CE + lambda_d * distillation + lambda_h * hierarchy
+consistency.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.layers import Attention
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+
+__all__ = ["HAMLETModel", "hamlet_loss"]
+
+
+class CrossScaleAttention(nn.Module):
+    """Each scale's tokens cross-attend to the concatenated other scales
+    (reference: hamlet_model.py:62-178)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, scale_feats, deterministic: bool = True):
+        # scale_feats: list of [B, Hi, Wi, dim] (already projected)
+        tokens = [f.reshape(f.shape[0], -1, self.dim) for f in scale_feats]
+        outs = []
+        for i, t in enumerate(tokens):
+            others = jnp.concatenate(
+                [tok for j, tok in enumerate(tokens) if j != i], axis=1
+            )
+            att = Attention(self.dim, num_heads=4, qkv_bias=True,
+                            name=f"cross{i}")(
+                nn.LayerNorm(name=f"ln{i}")(t), others, others, deterministic
+            )
+            outs.append(t + att)
+        return [
+            o.reshape(f.shape) for o, f in zip(outs, scale_feats)
+        ]
+
+
+class ContextEnhancedConv(nn.Module):
+    """Dilated context conv block (reference: hamlet_model.py:180-269)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            name=name,
+        )
+        y = nn.relu(bn("bn1")(nn.Conv(self.dim, (3, 3), padding=1,
+                                      name="conv1")(x)))
+        y = nn.relu(
+            bn("bn2")(
+                nn.Conv(self.dim, (3, 3), padding=2, kernel_dilation=(2, 2),
+                        name="conv2")(y)
+            )
+        )
+        return x + y
+
+
+def hamlet_loss(logits, labels, scale_descs, text_features=None,
+                student_text=None, distill_weight=0.5, hierarchy_weight=0.3):
+    """CE + distillation + hierarchy consistency
+    (reference: hamlet_model.py:548-607)."""
+    loss = cross_entropy(logits, labels)
+    aux = {"ce": loss}
+    if text_features is not None and student_text is not None:
+        t = l2_normalize(text_features, axis=-1)
+        s = l2_normalize(student_text, axis=-1)
+        distill = jnp.mean((s - t) ** 2)
+        loss = loss + distill_weight * distill
+        aux["distill"] = distill
+    # hierarchy consistency: consecutive scale descriptors should agree
+    cons = 0.0
+    for a, b in zip(scale_descs[:-1], scale_descs[1:]):
+        cons = cons + jnp.mean(
+            (l2_normalize(a, axis=-1) - l2_normalize(b, axis=-1)) ** 2
+        )
+    loss = loss + hierarchy_weight * cons
+    aux["hierarchy"] = cons
+    return loss, aux
+
+
+class HAMLETModel(nn.Module):
+    """HAMLET with the dual train/extract API."""
+
+    backbone_name: str = "resnet50"
+    outputdim: int = 512
+    num_classes: int = 81313
+    hidden: int = 256
+    distill_weight: float = 0.5
+    hierarchy_weight: float = 0.3
+    bn_axis_name: str | None = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            name_=self.backbone_name, out_stages=(3, 4, 5),
+            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+        )
+        self.scale_projs = [
+            nn.Dense(self.hidden, name=f"scale_proj{i}") for i in range(3)
+        ]
+        self.cross_scale = CrossScaleAttention(self.hidden)
+        self.context = ContextEnhancedConv(self.hidden)
+        self.fusion = nn.Dense(self.outputdim, name="fusion")
+        self.text_head = nn.Dense(self.outputdim, name="text_head")
+        self.classifier = nn.Dense(self.num_classes, name="classifier")
+
+    def _multi_scale(self, x, train: bool):
+        taps = self.backbone(x, train=train)
+        feats = [
+            self.scale_projs[i](taps[s]) for i, s in enumerate((3, 4, 5))
+        ]
+        feats = self.cross_scale(feats, deterministic=not train)
+        feats = [self.context(f, train=train) for f in feats]
+        descs = [gem_pool(f, p=3.0) for f in feats]  # [B, hidden] each
+        fused = self.fusion(jnp.concatenate(descs, axis=-1))
+        return fused, descs
+
+    def __call__(self, x, labels, train: bool = True, text_features=None):
+        fused, descs = self._multi_scale(x, train)
+        logits = self.classifier(fused)
+        student_text = self.text_head(fused) if text_features is not None else None
+        loss, _ = hamlet_loss(
+            logits, labels, descs, text_features, student_text,
+            self.distill_weight, self.hierarchy_weight,
+        )
+        return loss, logits
+
+    def extract(self, x, valid_hw=None):
+        fused, _ = self._multi_scale(x, train=False)
+        return l2_normalize(fused)
+
+
+register_model(
+    "hamlet_r50",
+    description="HAMLET hierarchical multi-scale + cross-scale attention prototype (reference manus/2_HAMLET/hamlet_model.py)",
+    defaults=dict(backbone_name="resnet50", outputdim=512),
+    family="hamlet",
+)(HAMLETModel)

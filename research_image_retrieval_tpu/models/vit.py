@@ -1,0 +1,196 @@
+"""Vision Transformer backbone + ViT global-descriptor retrieval model.
+
+Covers the reference's transformer-backbone capability (the vendored CLIP
+VisionTransformer, reference: networks/model.py:206-243, including its
+optional prompt tokens) and BASELINE config #3 (ViT/DINOv2 global
+descriptor with CLS + GeM-token pooling).
+
+TPU notes: pre-norm blocks, fp32 attention accumulation, position
+embeddings bilinearly resized at trace time for non-native resolutions
+(static shapes per bucket), bf16-friendly throughout.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from research_image_retrieval_tpu.models.registry import register_model
+from research_image_retrieval_tpu.ops import (
+    arcface_logits,
+    cross_entropy,
+    l2_normalize,
+)
+
+__all__ = ["VisionTransformer", "ViTGlobalModel", "VIT_CONFIGS"]
+
+VIT_CONFIGS = {
+    "ti16": dict(dim=192, depth=12, heads=3, patch=16),
+    "s16": dict(dim=384, depth=12, heads=6, patch=16),
+    "b16": dict(dim=768, depth=12, heads=12, patch=16),
+    "b32": dict(dim=768, depth=12, heads=12, patch=32),
+    "l14": dict(dim=1024, depth=24, heads=16, patch=14),
+    # tiny config for tests
+    "test": dict(dim=32, depth=2, heads=2, patch=8),
+}
+
+
+class ViTBlock(nn.Module):
+    """Pre-norm transformer block (LN -> MHA -> LN -> MLP, residual)."""
+
+    dim: int
+    heads: int
+    mlp_ratio: float = 4.0
+    quick_gelu: bool = False  # CLIP uses x*sigmoid(1.702x)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, qkv_features=self.dim,
+            deterministic=deterministic, name="attn",
+        )(h, h)
+        x = x + h
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        if self.quick_gelu:
+            h = h * jax.nn.sigmoid(1.702 * h)
+        else:
+            h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        return x + h
+
+
+class VisionTransformer(nn.Module):
+    """ViT backbone returning (cls_token, patch_tokens).
+
+    num_prompt_tokens > 0 appends learned prompt tokens after the patch
+    sequence (the reference CLIP's prompt option, networks/model.py:223-243).
+    """
+
+    dim: int = 384
+    depth: int = 12
+    heads: int = 6
+    patch: int = 16
+    img_size: int = 224
+    num_prompt_tokens: int = 0
+    quick_gelu: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, H, W, _ = x.shape
+        y = nn.Conv(
+            self.dim, (self.patch,) * 2, strides=(self.patch,) * 2,
+            use_bias=False, name="patch_embed",
+        )(x)
+        gh, gw = y.shape[1], y.shape[2]
+        y = y.reshape(B, gh * gw, self.dim)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim)
+        )
+        npos = (self.img_size // self.patch) ** 2 + 1
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02), (1, npos, self.dim)
+        )
+        cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+        native = self.img_size // self.patch
+        if (gh, gw) != (native, native):
+            grid = patch_pos.reshape(1, native, native, self.dim)
+            grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bilinear")
+            patch_pos = grid.reshape(1, gh * gw, self.dim)
+
+        y = y + patch_pos
+        tokens = [jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim)), y]
+        if self.num_prompt_tokens:
+            prompts = self.param(
+                "prompt_tokens", nn.initializers.normal(0.02),
+                (1, self.num_prompt_tokens, self.dim),
+            )
+            tokens.append(jnp.broadcast_to(
+                prompts, (B, self.num_prompt_tokens, self.dim)
+            ))
+        y = jnp.concatenate(tokens, axis=1)
+
+        y = nn.LayerNorm(name="ln_pre")(y) if self.quick_gelu else y  # CLIP
+        for i in range(self.depth):
+            y = ViTBlock(
+                self.dim, self.heads, quick_gelu=self.quick_gelu,
+                name=f"block{i}",
+            )(y, deterministic=not train)
+        y = nn.LayerNorm(name="ln_post")(y)
+        return y[:, 0], y[:, 1 : 1 + gh * gw]
+
+
+class ViTGlobalModel(nn.Module):
+    """ViT retrieval model: CLS + GeM-token pooling descriptor + ArcFace.
+
+    descriptor = whiten(concat(cls, gem_p over patch tokens)) — the
+    BASELINE config-3 recipe.
+    """
+
+    variant: str = "s16"
+    outputdim: int = 512
+    num_classes: int = 81313
+    p: float = 3.0
+    s: float = 32.0
+    m: float = 0.15
+    img_size: int = 224
+    quick_gelu: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = VIT_CONFIGS[self.variant]
+        self.backbone = VisionTransformer(
+            img_size=self.img_size, quick_gelu=self.quick_gelu, **cfg
+        )
+        self.whiten = nn.Dense(self.outputdim, name="whiten")
+        self.classifier_w = self.param(
+            "classifier_w",
+            nn.initializers.xavier_uniform(),
+            (self.num_classes, self.outputdim),
+        )
+
+    def _descriptor(self, x, train: bool):
+        cls, patches = self.backbone(x, train=train)
+        # GeM over tokens: clamp^p -> mean over sequence -> ^(1/p)
+        gem = jnp.mean(
+            jnp.clip(patches.astype(jnp.float32), min=1e-6) ** self.p, axis=1
+        ) ** (1.0 / self.p)
+        return self.whiten(jnp.concatenate([cls, gem], axis=-1))
+
+    def __call__(self, x, labels, train: bool = True):
+        feat = self._descriptor(x, train)
+        logits = arcface_logits(
+            feat, self.classifier_w, labels, s=self.s, m=self.m
+        )
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        return l2_normalize(self._descriptor(x, train=False))
+
+
+register_model(
+    "vit_s16",
+    description="ViT-S/16 global descriptor (CLS + GeM tokens) with ArcFace",
+    defaults=dict(variant="s16", outputdim=512),
+    family="vit",
+    paper="ViT/DINOv2-style transformer global descriptor (BASELINE config 3)",
+)(ViTGlobalModel)
+
+register_model(
+    "vit_b16",
+    description="ViT-B/16 global descriptor",
+    defaults=dict(variant="b16", outputdim=768),
+    family="vit",
+)(ViTGlobalModel)
+
+register_model(
+    "clip_vit_b32",
+    description="CLIP-style ViT-B/32 visual tower (quick-GELU, pre-LN) as retrieval backbone (reference networks/model.py:206)",
+    defaults=dict(variant="b32", outputdim=512, quick_gelu=True),
+    family="clip_vit",
+)(ViTGlobalModel)

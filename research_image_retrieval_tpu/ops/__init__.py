@@ -22,6 +22,15 @@ from research_image_retrieval_tpu.ops.losses import (
     cross_entropy,
     topk_errors,
 )
+from research_image_retrieval_tpu.ops.topk_pallas import (
+    pallas_streaming_topk,
+    scan_streaming_topk,
+    streaming_topk,
+)
+from research_image_retrieval_tpu.ops.gem_pallas import (
+    pallas_gem_whiten_l2,
+    gem_whiten_l2_reference,
+)
 
 __all__ = [
     "gem_pool",
@@ -36,4 +45,9 @@ __all__ = [
     "madacos_loss",
     "cross_entropy",
     "topk_errors",
+    "pallas_streaming_topk",
+    "scan_streaming_topk",
+    "streaming_topk",
+    "pallas_gem_whiten_l2",
+    "gem_whiten_l2_reference",
 ]

@@ -1,0 +1,200 @@
+"""Streaming top-k search kernels over an HBM-resident gallery.
+
+The serving-path replacement for the reference's dense matmul + full
+argsort (reference: iris_evaluate.py:383-386).  Materializing the [Q, N]
+score matrix in HBM is the bottleneck at GLDv2 scale (70 x 1.4M fp32 =
+0.4 GB written + re-read); both paths here stream gallery blocks and carry
+only the running [Q, K] winners:
+
+* ``pallas_streaming_topk`` — a Pallas TPU kernel: sequential grid over
+  gallery blocks; each step runs the [Q, BLOCK] score matmul on the MXU
+  and merges into a VMEM-resident running top-k.  Mosaic has no sort/top_k
+  primitive, so the merge is K max-extraction passes over the
+  [Q, K+BLOCK] candidate row — O(K*(K+BLOCK)) VPU work per block, ~6% of
+  the matmul FLOPs at BLOCK=512, D=2048, K=100.
+* ``scan_streaming_topk`` — portable XLA fallback: lax.scan over gallery
+  chunks with a lax.top_k merge of the carry (same O(N) memory profile,
+  works on CPU and in tests).
+
+Both return bitwise-identical results to the dense reference path up to
+score ties.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pallas_streaming_topk", "scan_streaming_topk", "streaming_topk"]
+
+_NEG = -jnp.inf
+
+
+def _merge_topk_kernel(q_ref, g_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, block):
+    """One gallery block: score matmul + running top-k merge in VMEM."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        run_s[:] = jnp.full_like(run_s, _NEG)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    # [Q, BLOCK] scores on the MXU; the gallery stays in its storage dtype
+    # (e.g. bf16) in HBM and is upcast per block in VMEM
+    scores = jax.lax.dot_general(
+        q_ref[:], g_ref[:].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    base = step * block
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
+
+    cand_s = jnp.concatenate([run_s[:], scores], axis=1)  # [Q, K+BLOCK]
+    cand_i = jnp.concatenate([run_i[:], col_ids], axis=1)
+    width = cand_s.shape[1]
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [Q, K]
+
+    def extract_one(j, carry):
+        # Mosaic can't store to a dynamic lane index, so the winners are
+        # written via one-hot selects over the [Q, K] output registers.
+        cs, ci, new_s, new_i = carry
+        m = jnp.max(cs, axis=1, keepdims=True)  # [Q, 1]
+        # leftmost argmax without the argmax primitive
+        is_max = cs == m
+        am = jnp.min(jnp.where(is_max, col_iota, width), axis=1, keepdims=True)
+        sel = col_iota == am
+        idx_val = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)  # [Q,1]
+        slot = k_iota == j
+        new_s = jnp.where(slot, m, new_s)
+        new_i = jnp.where(slot, idx_val, new_i)
+        cs = jnp.where(sel, _NEG, cs)
+        return cs, ci, new_s, new_i
+
+    _, _, new_s, new_i = jax.lax.fori_loop(
+        0, k, extract_one,
+        (cand_s, cand_i, jnp.zeros_like(run_s), jnp.zeros_like(run_i)),
+    )
+    run_s[:] = new_s
+    run_i[:] = new_i
+
+    @pl.when(step == nsteps - 1)
+    def _done():
+        out_s_ref[:] = run_s[:]
+        out_i_ref[:] = run_i[:]
+
+
+def pallas_streaming_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int = 100,
+    block: int = 512,
+):
+    """Fused blocked-matmul + streaming top-k on TPU.
+
+    Args:
+      queries: [Q, D] L2-normalized (Q is padded to a multiple of 8).
+      gallery: [N, D] L2-normalized; N is padded to a block multiple.
+      k: winners per query.  block: gallery rows per grid step.
+
+    Returns:
+      (scores [Q, k], indices [Q, k]), descending.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    gallery = jnp.asarray(gallery)  # keep storage dtype (fp32 or bf16)
+    Q, D = queries.shape
+    N = gallery.shape[0]
+
+    q_pad = (-Q) % 8
+    if q_pad:
+        queries = jnp.pad(queries, ((0, q_pad), (0, 0)))
+    n_pad = (-N) % block
+    if n_pad:
+        gallery = jnp.pad(gallery, ((0, n_pad), (0, 0)))  # zero rows score 0
+    nsteps = gallery.shape[0] // block
+    Qp = queries.shape[0]
+
+    kernel = functools.partial(_merge_topk_kernel, k=k, block=block)
+    out_s, out_i = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((Qp, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Qp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Qp, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Qp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Qp, k), jnp.float32),
+            pltpu.VMEM((Qp, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Qp * D * gallery.shape[0],
+            bytes_accessed=(Qp * D + gallery.shape[0] * D + 2 * Qp * k) * 4,
+            transcendentals=0,
+        ),
+    )(queries, gallery)
+    out_s, out_i = out_s[:Q], out_i[:Q]
+    # padded gallery rows can only win when fewer than k real rows exist
+    return out_s, jnp.where(out_i < N, out_i, N - 1)
+
+
+def scan_streaming_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int = 100,
+    chunk: int = 4096,
+):
+    """Portable streaming top-k: lax.scan over gallery chunks.
+
+    Never materializes the full [Q, N] score matrix; the carry holds the
+    running [Q, k] winners merged with lax.top_k per chunk.
+    """
+    queries = jnp.asarray(queries, jnp.float32)
+    gallery = jnp.asarray(gallery)  # keep storage dtype (fp32 or bf16)
+    Q, D = queries.shape
+    N = gallery.shape[0]
+    pad = (-N) % chunk
+    if pad:
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+    chunks = gallery.reshape(-1, chunk, D)
+
+    def body(carry, inp):
+        run_s, run_i = carry
+        g_chunk, base = inp
+        scores = jnp.matmul(queries, g_chunk.astype(jnp.float32).T,
+                            preferred_element_type=jnp.float32)
+        ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
+        cand_s = jnp.concatenate([run_s, scores], axis=1)
+        cand_i = jnp.concatenate([run_i, jnp.broadcast_to(ids, scores.shape)], axis=1)
+        s, sel = jax.lax.top_k(cand_s, k)
+        i = jnp.take_along_axis(cand_i, sel, axis=1)
+        return (s, i), None
+
+    init = (
+        jnp.full((Q, k), _NEG, jnp.float32),
+        jnp.zeros((Q, k), jnp.int32),
+    )
+    bases = (jnp.arange(chunks.shape[0], dtype=jnp.int32) * chunk)
+    (scores, idx), _ = jax.lax.scan(body, init, (chunks, bases))
+    return scores, jnp.where(idx < N, idx, N - 1)
+
+
+def streaming_topk(queries, gallery, k: int = 100, block: int = 512):
+    """Dispatch: Pallas kernel on TPU, scan fallback elsewhere."""
+    platform = jax.devices()[0].platform
+    if platform in ("tpu", "axon"):
+        return pallas_streaming_topk(queries, gallery, k=k, block=block)
+    return scan_streaming_topk(queries, gallery, k=k)

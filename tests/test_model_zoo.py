@@ -36,6 +36,12 @@ PER_MODEL_SMALL = {
     # tiny hybrid: no backbone_name field; 64px input -> 16x16 patches
     "ultron": dict(backbone_name=None, variant="t", img_size=64, window_size=4),
     "adaptive_hybrid": dict(outputdim=32),
+    "vit": dict(backbone_name=None, variant="test", outputdim=32, img_size=64),
+    "clip_vit": dict(backbone_name=None, variant="test", outputdim=32, img_size=64),
+    "iris": dict(outputdim=32),
+    "sparse": dict(outputdim=32),
+    "hamlet": dict(outputdim=32, hidden=16),
+    "spectrum": dict(outputdim=32),
 }
 # one representative per family (families share the module)
 REPRESENTATIVES = sorted(
