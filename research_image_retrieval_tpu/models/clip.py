@@ -1,0 +1,136 @@
+"""CLIP: dual-tower vision/text model (vendored-backbone capability).
+
+Behavioral contract of the reference's vendored CLIP
+(reference: networks/model.py:10-442): a VisionTransformer visual tower
+(with quick-GELU and pre-LN — provided by models.vit), a causal text
+transformer over BPE token ids, learned logit scale, and the contrastive
+image-text objective.  The reference uses CLIP as an alternative
+backbone / pretrained source for retrieval; ``image_features`` here is the
+retrieval-facing surface.
+
+Weight conversion from OpenAI CLIP state dicts can reuse the layout
+conventions of models.backbone.convert_torch_resnet (OIHW->HWIO convs,
+transposed linears).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from research_image_retrieval_tpu.models.vit import VIT_CONFIGS, VisionTransformer
+from research_image_retrieval_tpu.ops import l2_normalize
+
+__all__ = ["CLIP", "CLIPTextEncoder", "clip_contrastive_loss"]
+
+
+class CLIPTextBlock(nn.Module):
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, mask):
+        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.MultiHeadDotProductAttention(
+            num_heads=self.heads, deterministic=True, name="attn"
+        )(h, h, mask=mask)
+        x = x + h
+        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.Dense(4 * self.dim, name="mlp_fc1")(h)
+        h = h * jax.nn.sigmoid(1.702 * h)  # quick-GELU
+        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        return x + h
+
+
+class CLIPTextEncoder(nn.Module):
+    """Causal text transformer (reference: networks/model.py:245-330)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    dim: int = 512
+    depth: int = 12
+    heads: int = 8
+    embed_dim: int = 512
+
+    @nn.compact
+    def __call__(self, token_ids):
+        """token_ids: [B, T] int32 (0-padded after the EOT token)."""
+        B, T = token_ids.shape
+        x = nn.Embed(self.vocab_size, self.dim, name="token_embedding")(token_ids)
+        pos = self.param(
+            "positional_embedding", nn.initializers.normal(0.01),
+            (self.context_length, self.dim),
+        )
+        x = x + pos[:T]
+        causal = nn.make_causal_mask(token_ids)
+        for i in range(self.depth):
+            x = CLIPTextBlock(self.dim, self.heads, name=f"block{i}")(x, causal)
+        x = nn.LayerNorm(name="ln_final")(x)
+        # feature at the EOT token = highest token id position (CLIP rule)
+        eot = jnp.argmax(token_ids, axis=1)
+        feat = x[jnp.arange(B), eot]
+        return nn.Dense(self.embed_dim, use_bias=False, name="text_projection")(feat)
+
+
+def clip_contrastive_loss(image_features, text_features, logit_scale):
+    """Symmetric InfoNCE over an aligned image/text batch."""
+    im = l2_normalize(image_features, axis=-1)
+    tx = l2_normalize(text_features, axis=-1)
+    logits = logit_scale * jnp.matmul(
+        im, tx.T, preferred_element_type=jnp.float32
+    )
+    labels = jnp.arange(logits.shape[0])
+    logz_i = jax.nn.logsumexp(logits, axis=1)
+    logz_t = jax.nn.logsumexp(logits, axis=0)
+    diag = jnp.diagonal(logits)
+    return 0.5 * (jnp.mean(logz_i - diag) + jnp.mean(logz_t - diag))
+
+
+class CLIP(nn.Module):
+    """Dual-tower CLIP; ``image_features`` doubles as a retrieval descriptor."""
+
+    visual_variant: str = "b32"
+    embed_dim: int = 512
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_dim: int = 512
+    text_depth: int = 12
+    text_heads: int = 8
+    img_size: int = 224
+
+    def setup(self):
+        cfg = VIT_CONFIGS[self.visual_variant]
+        self.visual = VisionTransformer(
+            img_size=self.img_size, quick_gelu=True, **cfg
+        )
+        self.visual_proj = nn.Dense(
+            self.embed_dim, use_bias=False, name="visual_projection"
+        )
+        self.text = CLIPTextEncoder(
+            vocab_size=self.vocab_size, context_length=self.context_length,
+            dim=self.text_dim, depth=self.text_depth, heads=self.text_heads,
+            embed_dim=self.embed_dim,
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda _: jnp.asarray(np.log(1 / 0.07), jnp.float32)
+        )
+
+    def image_features(self, images):
+        cls, _ = self.visual(images, train=False)
+        return self.visual_proj(cls)
+
+    def text_features(self, token_ids):
+        return self.text(token_ids)
+
+    def __call__(self, images, token_ids):
+        im = self.image_features(images)
+        tx = self.text_features(token_ids)
+        scale = jnp.exp(self.logit_scale)
+        loss = clip_contrastive_loss(im, tx, scale)
+        return loss, (im, tx)
+
+    def extract(self, images, valid_hw=None):
+        """Retrieval-facing descriptor (L2-normalized image embedding)."""
+        return l2_normalize(self.image_features(images))

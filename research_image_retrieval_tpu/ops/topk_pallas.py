@@ -55,34 +55,44 @@ def _merge_topk_kernel(q_ref, g_ref, out_s_ref, out_i_ref, run_s, run_i, *, k, b
     base = step * block
     col_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1) + base
 
-    cand_s = jnp.concatenate([run_s[:], scores], axis=1)  # [Q, K+BLOCK]
-    cand_i = jnp.concatenate([run_i[:], col_ids], axis=1)
-    width = cand_s.shape[1]
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [Q, K]
+    # merge only when this block can actually displace a current winner:
+    # after the first few blocks the running k-th best dominates almost
+    # every block, so the K-pass selection amortizes to ~zero cost and the
+    # kernel stays matmul/bandwidth-bound.
+    kth_best = jnp.min(run_s[:], axis=1, keepdims=True)  # [Q, 1]
+    needs_merge = jnp.any(scores > kth_best)
 
-    def extract_one(j, carry):
-        # Mosaic can't store to a dynamic lane index, so the winners are
-        # written via one-hot selects over the [Q, K] output registers.
-        cs, ci, new_s, new_i = carry
-        m = jnp.max(cs, axis=1, keepdims=True)  # [Q, 1]
-        # leftmost argmax without the argmax primitive
-        is_max = cs == m
-        am = jnp.min(jnp.where(is_max, col_iota, width), axis=1, keepdims=True)
-        sel = col_iota == am
-        idx_val = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)  # [Q,1]
-        slot = k_iota == j
-        new_s = jnp.where(slot, m, new_s)
-        new_i = jnp.where(slot, idx_val, new_i)
-        cs = jnp.where(sel, _NEG, cs)
-        return cs, ci, new_s, new_i
+    @pl.when(needs_merge)
+    def _merge():
+        cand_s = jnp.concatenate([run_s[:], scores], axis=1)  # [Q, K+BLOCK]
+        cand_i = jnp.concatenate([run_i[:], col_ids], axis=1)
+        width = cand_s.shape[1]
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, cand_s.shape, 1)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, run_s.shape, 1)  # [Q, K]
 
-    _, _, new_s, new_i = jax.lax.fori_loop(
-        0, k, extract_one,
-        (cand_s, cand_i, jnp.zeros_like(run_s), jnp.zeros_like(run_i)),
-    )
-    run_s[:] = new_s
-    run_i[:] = new_i
+        def extract_one(j, carry):
+            # Mosaic can't store to a dynamic lane index, so winners are
+            # written via one-hot selects over the [Q, K] output registers.
+            cs, ci, new_s, new_i = carry
+            m = jnp.max(cs, axis=1, keepdims=True)  # [Q, 1]
+            # leftmost argmax without the argmax primitive
+            is_max = cs == m
+            am = jnp.min(jnp.where(is_max, col_iota, width), axis=1,
+                         keepdims=True)
+            sel = col_iota == am
+            idx_val = jnp.sum(jnp.where(sel, ci, 0), axis=1, keepdims=True)
+            slot = k_iota == j
+            new_s = jnp.where(slot, m, new_s)
+            new_i = jnp.where(slot, idx_val, new_i)
+            cs = jnp.where(sel, _NEG, cs)
+            return cs, ci, new_s, new_i
+
+        _, _, new_s, new_i = jax.lax.fori_loop(
+            0, k, extract_one,
+            (cand_s, cand_i, jnp.zeros_like(run_s), jnp.zeros_like(run_i)),
+        )
+        run_s[:] = new_s
+        run_i[:] = new_i
 
     @pl.when(step == nsteps - 1)
     def _done():
