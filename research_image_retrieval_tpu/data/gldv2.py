@@ -173,13 +173,23 @@ def build_gldv2_train_val(
     train_transform=None,
     val_transform=None,
     cache_dir: str | None = None,
+    verify_files: bool = False,
 ):
     """End-to-end builder: CSV -> relabel -> split -> datasets.
+
+    ``verify_files=True`` drops CSV entries whose jpg is missing on disk
+    (the reference intersects the CSV with globbed hash dirs,
+    configdataset.py:96-157 — same tolerance, without the glob).
 
     Returns:
       (train_ds, val_ds, num_classes)
     """
     ids, raw_labels = parse_clean_csv(csv_path)
+    if verify_files:
+        present = np.asarray(
+            [os.path.exists(os.path.join(root, _hash_path(i))) for i in ids]
+        )
+        ids, raw_labels = ids[present], raw_labels[present]
     save = os.path.join(cache_dir, "relabeling.pkl") if cache_dir else None
     labels, mapping = relabel_contiguous(raw_labels, save_path=save)
     train_idx, val_idx = stratified_split(labels, val_per_class, seed)

@@ -15,8 +15,16 @@ from research_image_retrieval_tpu.index.qe import (
     IterativeQueryExpansion,
 )
 from research_image_retrieval_tpu.index.gallery import HybridGallery
+from research_image_retrieval_tpu.index.rerank import (
+    rerank_shortlist,
+    geometric_verification_score,
+    mutual_nn_matches,
+)
 
 __all__ = [
+    "rerank_shortlist",
+    "geometric_verification_score",
+    "mutual_nn_matches",
     "extract_vectors",
     "multiscale_descriptor",
     "cosine_similarity",

@@ -12,9 +12,23 @@ from research_image_retrieval_tpu.parallel.mesh import (
     classifier_sharding,
     shard_train_state_rules,
 )
-from research_image_retrieval_tpu.parallel.dist_search import sharded_search_topk
+from research_image_retrieval_tpu.parallel.dist_search import (
+    sharded_search_topk,
+    sharded_streaming_topk,
+)
+from research_image_retrieval_tpu.parallel.dist_init import (
+    init_distributed_mode,
+    get_rank,
+    get_world_size,
+    is_main_process,
+)
 
 __all__ = [
+    "sharded_streaming_topk",
+    "init_distributed_mode",
+    "get_rank",
+    "get_world_size",
+    "is_main_process",
     "make_mesh",
     "data_sharding",
     "replicated",

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["sharded_search_topk"]
+__all__ = ["sharded_search_topk", "sharded_streaming_topk"]
 
 
 def sharded_search_topk(
@@ -77,4 +77,62 @@ def sharded_search_topk(
     scores, idx = jax.jit(local_topk_merge)(queries, gallery)
     # drop any padded-row hits (score exactly 0 on zero rows is possible but
     # they can only appear if fewer than k real candidates exist)
+    return scores, jnp.where(idx < N, idx, N - 1)
+
+
+def sharded_streaming_topk(
+    queries,
+    gallery,
+    k: int = 100,
+    mesh: Mesh | None = None,
+    axis: str = "data",
+    chunk: int = 65536,
+):
+    """ICI-sharded search with per-shard STREAMING top-k.
+
+    Unlike ``sharded_search_topk`` (which materializes each device's
+    [Q, shard_n] score block), every device streams its gallery shard in
+    chunks carrying only [Q, k] winners (ops.topk_pallas.scan semantics),
+    then the shards' candidates merge over the mesh axis.  Peak per-device
+    memory is O(Q * (k + chunk)) regardless of shard size — the layout for
+    galleries that fill HBM.
+    """
+    from research_image_retrieval_tpu.ops.topk_pallas import (
+        scan_streaming_topk,
+    )
+
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(
+            __import__("numpy").asarray(devs).reshape(len(devs), 1),
+            axis_names=("data", "model"),
+        )
+    n_shards = mesh.shape[axis]
+    queries = jnp.asarray(queries, jnp.float32)
+    gallery = jnp.asarray(gallery)
+    N = gallery.shape[0]
+    if N % n_shards != 0:
+        pad = n_shards - N % n_shards
+        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+    shard_n = gallery.shape[0] // n_shards
+    local_chunk = min(chunk, shard_n)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def local_stream_merge(q, g_shard):
+        kk = min(k, shard_n)
+        s, i = scan_streaming_topk(q, g_shard, k=kk, chunk=local_chunk)
+        shard_id = jax.lax.axis_index(axis)
+        gi = i + shard_id * shard_n
+        all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+        ms, mi = jax.lax.top_k(all_s, k)
+        return ms, jnp.take_along_axis(all_i, mi, axis=1)
+
+    scores, idx = jax.jit(local_stream_merge)(queries, gallery)
     return scores, jnp.where(idx < N, idx, N - 1)

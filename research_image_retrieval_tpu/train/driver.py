@@ -37,6 +37,7 @@ from research_image_retrieval_tpu.train.loop import (
     make_train_step,
 )
 from research_image_retrieval_tpu.train.metrics import JsonlWriter, MetricLogger
+from research_image_retrieval_tpu.train.preemption import PreemptionGuard
 from research_image_retrieval_tpu.train.optimizer import (
     make_adamw_optimizer,
     make_sgd_optimizer,
@@ -154,6 +155,7 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
 
     history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
     switched = start_epoch >= cfg.switch_epoch
+    guard = PreemptionGuard()  # SIGTERM -> checkpoint and exit cleanly
 
     for epoch in range(start_epoch, cfg.num_epochs):
         # ULTRON optimizer hand-off
@@ -176,6 +178,13 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             state, m = train_step(state, jnp.asarray(imgs), jnp.asarray(labels))
             logger.update(loss=m["loss"], top1_err=m["top1_err"],
                           top5_err=m["top5_err"])
+            if guard.should_stop:
+                mgr.save(epoch + 1, jax.tree.map(np.asarray, state))
+                print(f">> preemption checkpoint at epoch {epoch}, "
+                      f"step {int(state.step)}; exiting")
+                guard.restore()
+                jsonl.close()
+                return state, history
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 train_it.epoch += 1
                 train_it.step = 0

@@ -208,6 +208,18 @@ class TestShardedSearch:
         np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), rtol=1e-5)
         np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
 
+    def test_streaming_variant_matches(self, rng):
+        from research_image_retrieval_tpu.parallel import sharded_streaming_topk
+
+        g = rng.standard_normal((512, 16)).astype(np.float32)
+        g /= np.linalg.norm(g, axis=1, keepdims=True)
+        q = g[:5]
+        mesh = make_mesh(data=8, model=1)
+        s_ref, i_ref = search_topk(q, g, k=12)
+        s, i = sharded_streaming_topk(q, g, k=12, mesh=mesh, chunk=16)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
+
     def test_non_divisible_gallery(self, rng):
         g = rng.standard_normal((250, 16)).astype(np.float32)
         g /= np.linalg.norm(g, axis=1, keepdims=True)
