@@ -86,18 +86,10 @@ def stratified_split(
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> RGB uint8 HWC."""
-    try:
-        import cv2
+    """JPEG bytes -> RGB uint8 HWC (native decoder, cv2/PIL fallback)."""
+    from research_image_retrieval_tpu.data.native_decode import decode_jpeg
 
-        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
-        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-    except ImportError:
-        import io
-
-        from PIL import Image
-
-        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    return decode_jpeg(data)
 
 
 class GLDv2FileDataset:

@@ -85,16 +85,28 @@ class ShardedBatchIterator:
             if self.shuffle
             else np.arange(n)
         )
+        # pad to a shard_count multiple (wrap-around, DistributedSampler
+        # style) so every host sees the SAME number of steps — unequal
+        # shards would deadlock the collective train step
+        pad = (-n) % self.shard_count
+        if pad:
+            order = np.concatenate([order, order[:pad]])
         return order[self.shard_index :: self.shard_count]
 
     def steps_per_epoch(self) -> int:
         n = len(self._epoch_indices(0))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _pool(self) -> ThreadPoolExecutor:
+        # one long-lived pool; spawning 8 threads per batch would put
+        # thread setup/teardown on the input hot path
+        if getattr(self, "_executor", None) is None:
+            self._executor = ThreadPoolExecutor(self.num_workers)
+        return self._executor
+
     def _fetch(self, idx_batch: np.ndarray):
         if self.num_workers > 0:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                items = list(pool.map(self.dataset.__getitem__, idx_batch))
+            items = list(self._pool().map(self.dataset.__getitem__, idx_batch))
         else:
             items = [self.dataset[i] for i in idx_batch]
         images = np.stack([im for im, _ in items])
@@ -103,6 +115,10 @@ class ShardedBatchIterator:
 
     def epoch_batches(self) -> Iterator[tuple]:
         """Iterate the remainder of the current epoch, then advance it."""
+        # fresh augmentations each epoch (DistributedSampler.set_epoch style)
+        transform = getattr(self.dataset, "transform", None)
+        if transform is not None and hasattr(transform, "set_epoch"):
+            transform.set_epoch(self.epoch)
         idxs = self._epoch_indices(self.epoch)
         nsteps = self.steps_per_epoch()
         while self.step < nsteps:

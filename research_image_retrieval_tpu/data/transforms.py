@@ -171,7 +171,12 @@ def color_jitter(
 
 
 class TrainTransform:
-    """Reference train augmentation stack (configdataset.py:417-424)."""
+    """Reference train augmentation stack (configdataset.py:417-424).
+
+    Randomness is seeded by (seed, epoch, index): deterministic and
+    resumable, but each epoch sees fresh augmentations.  The data pipeline
+    calls ``set_epoch`` at epoch boundaries (DistributedSampler-style).
+    """
 
     def __init__(self, imsize: int = 512, seed: int = 0, jitter_p: float = 0.8,
                  bgr: bool = False):
@@ -179,9 +184,13 @@ class TrainTransform:
         self.seed = seed
         self.jitter_p = jitter_p
         self.bgr = bgr
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = int(epoch)
 
     def __call__(self, img: np.ndarray, index: int = 0) -> np.ndarray:
-        rng = np.random.default_rng((self.seed, index))
+        rng = np.random.default_rng((self.seed, self.epoch, index))
         img = _to_float(img)
         img = random_resized_crop(img, self.imsize, rng)
         if rng.random() < 0.5:

@@ -24,7 +24,7 @@ from research_image_retrieval_tpu.models.backbone import ResNet
 from research_image_retrieval_tpu.models.layers import Decoder, Encoder
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
-    arcface_logits,
+    arcface_delg_logits,
     cross_entropy,
     l2_normalize,
 )
@@ -124,12 +124,23 @@ class TokenModel(nn.Module):
             nn.initializers.xavier_uniform(),
             (self.num_classes, self.outputdim),
         )
+        # ArcFace-DELG hard-example EMA buffer, like the reference
+        # Token/RetrievalNet (RetrievalNet.py:271); lives in the
+        # "model_state" collection and is threaded through the train step.
+        self.t_var = self.variable(
+            "model_state", "arcface_t", lambda: jnp.zeros((1,), jnp.float32)
+        )
 
     def __call__(self, x, labels, train: bool = True):
         fmap = self.backbone(x, train=train)
         feat = self.tr(fmap, train=train)
         s = float(self.outputdim) ** 0.5
-        logits = arcface_logits(feat, self.classifier_w, labels, s=s, m=self.m)
+        logits, new_t = arcface_delg_logits(
+            feat, self.classifier_w, labels, t_state=self.t_var.value,
+            s=s, m=self.m,
+        )
+        if train and not self.is_initializing():
+            self.t_var.value = new_t
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):

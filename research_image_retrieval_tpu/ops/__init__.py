@@ -25,6 +25,7 @@ from research_image_retrieval_tpu.ops.losses import (
 from research_image_retrieval_tpu.ops.topk_pallas import (
     pallas_streaming_topk,
     scan_streaming_topk,
+    approx_streaming_topk,
     streaming_topk,
 )
 from research_image_retrieval_tpu.ops.gem_pallas import (
@@ -47,6 +48,7 @@ __all__ = [
     "topk_errors",
     "pallas_streaming_topk",
     "scan_streaming_topk",
+    "approx_streaming_topk",
     "streaming_topk",
     "pallas_gem_whiten_l2",
     "gem_whiten_l2_reference",

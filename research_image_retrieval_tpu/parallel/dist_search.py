@@ -62,10 +62,14 @@ def sharded_search_topk(
         check_vma=False,
     )
     def local_topk_merge(q, g_shard):
-        # local [Q, shard_n] scores on the MXU, then per-shard top-k
+        # local [Q, shard_n] scores on the MXU, then per-shard top-k;
+        # padded rows (global id >= N) are masked so a zero row never
+        # displaces a real negative-similarity neighbor
         sims = jnp.matmul(q, g_shard.T, preferred_element_type=jnp.float32)
-        s, i = jax.lax.top_k(sims, min(k, shard_n))
         shard_id = jax.lax.axis_index(axis)
+        local_ids = jnp.arange(shard_n, dtype=jnp.int32) + shard_id * shard_n
+        sims = jnp.where(local_ids[None, :] < N, sims, -jnp.inf)
+        s, i = jax.lax.top_k(sims, min(k, shard_n))
         gi = i + shard_id * shard_n
         # gather all shards' candidates: [Q, k*n_shards]
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
@@ -75,9 +79,7 @@ def sharded_search_topk(
         return ms, final_i
 
     scores, idx = jax.jit(local_topk_merge)(queries, gallery)
-    # drop any padded-row hits (score exactly 0 on zero rows is possible but
-    # they can only appear if fewer than k real candidates exist)
-    return scores, jnp.where(idx < N, idx, N - 1)
+    return scores, jnp.clip(idx, 0, N - 1)
 
 
 def sharded_streaming_topk(
@@ -129,10 +131,12 @@ def sharded_streaming_topk(
         s, i = scan_streaming_topk(q, g_shard, k=kk, chunk=local_chunk)
         shard_id = jax.lax.axis_index(axis)
         gi = i + shard_id * shard_n
+        # padded rows live in the last shard; mask them out of the merge
+        s = jnp.where(gi < N, s, -jnp.inf)
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
         ms, mi = jax.lax.top_k(all_s, k)
         return ms, jnp.take_along_axis(all_i, mi, axis=1)
 
     scores, idx = jax.jit(local_stream_merge)(queries, gallery)
-    return scores, jnp.where(idx < N, idx, N - 1)
+    return scores, jnp.clip(idx, 0, N - 1)

@@ -45,11 +45,6 @@ class CheckpointManager:
         self._ckptr.save(self._path(epoch), state, force=True)
         self._ckptr.wait_until_finished()
         if metric is not None:
-            better = (
-                self._best_metric is None
-                or (metric < self._best_metric) == lower_is_better
-                or metric == self._best_metric
-            )
             if self._best_metric is None or (
                 metric < self._best_metric if lower_is_better else metric > self._best_metric
             ):

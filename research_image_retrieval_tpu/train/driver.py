@@ -129,8 +129,40 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     if max_steps_per_epoch:
         ipe = min(ipe, max_steps_per_epoch)
 
-    phase = "warm" if cfg.optimizer == "adamw_then_sgd" else "main"
-    tx = build_optimizer(cfg, ipe, phase)
+    os.makedirs(cfg.directory, exist_ok=True)
+    mgr = CheckpointManager(cfg.directory, keep_every=cfg.keep_every)
+    jsonl = JsonlWriter(os.path.join(cfg.directory, "metrics.jsonl"))
+
+    # resolve the resume target FIRST: the optimizer phase (and therefore
+    # the opt_state structure the restore template needs) depends on the
+    # epoch being resumed (adamw_then_sgd hand-off)
+    resume_mgr, resume_epoch = None, None
+    if cfg.resume:
+        if isinstance(cfg.resume, str) and cfg.resume not in ("latest", "true"):
+            base = os.path.basename(os.path.normpath(cfg.resume))
+            if not base.startswith("epoch_"):
+                raise ValueError(
+                    f"--resume expects 'latest' or a .../epoch_NNNNN path, "
+                    f"got {cfg.resume!r}"
+                )
+            resume_epoch = int(base.split("_")[1])
+            resume_mgr = CheckpointManager(
+                os.path.dirname(os.path.abspath(cfg.resume)),
+                keep_every=cfg.keep_every,
+            )
+        else:
+            resume_mgr = mgr
+            resume_epoch = mgr.latest_epoch()
+            if resume_epoch is None:
+                raise FileNotFoundError(f"no checkpoints in {cfg.directory}")
+
+    def phase_for(epoch: int) -> str:
+        if cfg.optimizer != "adamw_then_sgd":
+            return "main"
+        return "warm" if epoch < cfg.switch_epoch else "main"
+
+    start_epoch = resume_epoch if resume_epoch is not None else 0
+    tx = build_optimizer(cfg, ipe, phase_for(start_epoch))
 
     sample_imgs, sample_labels = next(iter(train_it.epoch_batches()))
     train_it.epoch, train_it.step = 0, 0  # rewind the probe batch
@@ -141,20 +173,31 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     train_step = make_train_step(model, tx, mesh=mesh, donate=False)
     eval_step = make_eval_step(model, mesh=mesh)
 
-    os.makedirs(cfg.directory, exist_ok=True)
-    mgr = CheckpointManager(cfg.directory, keep_every=cfg.keep_every)
-    jsonl = JsonlWriter(os.path.join(cfg.directory, "metrics.jsonl"))
+    def snapshot():
+        """Checkpoint payload: model/optimizer state + data-iterator state
+        + the loop epoch to resume at (exact resume incl. mid-epoch)."""
+        return {
+            "state": jax.tree.map(np.asarray, state),
+            # 0-d arrays: orbax's standard handler rejects bare numpy scalars
+            "it": {
+                k: np.asarray(v, np.int64)
+                for k, v in train_it.state_dict().items()
+            },
+            "loop_epoch": np.asarray(train_it.epoch, np.int64),
+        }
 
-    start_epoch = 0
-    if cfg.resume:
-        template = jax.tree.map(np.asarray, state)
-        restored, ep = mgr.restore(template)
-        state = jax.tree.map(jnp.asarray, restored)
-        start_epoch = ep
-        print(f">> resumed from epoch {ep}")
+    if resume_mgr is not None:
+        restored, ep = resume_mgr.restore(snapshot(), epoch=resume_epoch)
+        state = jax.tree.map(jnp.asarray, restored["state"])
+        train_it.load_state_dict(
+            {k: int(v) for k, v in restored["it"].items()}
+        )
+        start_epoch = int(restored["loop_epoch"])
+        print(f">> resumed from checkpoint {ep} at loop epoch {start_epoch}, "
+              f"data step {train_it.step}")
 
     history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
-    switched = start_epoch >= cfg.switch_epoch
+    switched = phase_for(start_epoch) == "main"
     guard = PreemptionGuard()  # SIGTERM -> checkpoint and exit cleanly
 
     for epoch in range(start_epoch, cfg.num_epochs):
@@ -179,9 +222,11 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             logger.update(loss=m["loss"], top1_err=m["top1_err"],
                           top5_err=m["top5_err"])
             if guard.should_stop:
-                mgr.save(epoch + 1, jax.tree.map(np.asarray, state))
+                # mid-epoch snapshot: iterator state makes resume exact
+                mgr.save(epoch + 1, snapshot())
                 print(f">> preemption checkpoint at epoch {epoch}, "
-                      f"step {int(state.step)}; exiting")
+                      f"step {int(state.step)} (data step {train_it.step}); "
+                      "exiting")
                 guard.restore()
                 jsonl.close()
                 return state, history
@@ -210,8 +255,7 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             val_metric = None
 
         if (epoch + 1) % cfg.save_freq == 0:
-            mgr.save(epoch + 1, jax.tree.map(np.asarray, state),
-                     metric=val_metric)
+            mgr.save(epoch + 1, snapshot(), metric=val_metric)
 
     jsonl.close()
     return state, history

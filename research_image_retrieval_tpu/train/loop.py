@@ -61,7 +61,7 @@ def create_train_state(
         batch_stats=batch_stats,
         opt_state=optimizer.init(params),
         rng=train_rng,
-        model_state=variables.get("model_state", None),
+        model_state=variables.get("model_state", {}),
     )
     if mesh is not None:
         rule = shard_train_state_rules(mesh)
@@ -84,20 +84,27 @@ def make_train_step(
     follows its placement shardings; XLA inserts the gradient all-reduce.
     """
 
-    def loss_fn(params, batch_stats, images, labels, dropout_rng):
+    def loss_fn(params, batch_stats, model_state, images, labels, dropout_rng):
         variables = {"params": params, "batch_stats": batch_stats}
+        if model_state is not None:
+            variables["model_state"] = model_state
         (loss, logits), mutated = model.apply(
             variables, images, labels=labels, train=True,
-            mutable=["batch_stats"], rngs={"dropout": dropout_rng},
+            mutable=["batch_stats", "model_state"],
+            rngs={"dropout": dropout_rng},
         )
-        return loss, (logits, mutated["batch_stats"])
+        return loss, (logits, mutated["batch_stats"],
+                      mutated.get("model_state", None))
 
     def step_fn(state: TrainState, images, labels):
         rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
         new_rng, dropout_rng = jax.random.split(rng)
-        (loss, (logits, new_stats)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, state.batch_stats, images, labels, dropout_rng)
+        (loss, (logits, new_stats, new_model_state)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, state.model_state,
+                images, labels, dropout_rng,
+            )
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         e1, e5 = topk_errors(logits, labels, ks=(1, 5))
@@ -113,6 +120,9 @@ def make_train_step(
             batch_stats=new_stats,
             opt_state=new_opt,
             rng=new_rng,
+            model_state=(
+                new_model_state if new_model_state else state.model_state
+            ),
         )
         return new_state, metrics
 
@@ -134,6 +144,8 @@ def make_eval_step(model, mesh=None) -> Callable:
 
     def step_fn(state: TrainState, images, labels):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if state.model_state:
+            variables["model_state"] = state.model_state
         loss, logits = model.apply(variables, images, labels=labels, train=False)
         e1, e5 = topk_errors(logits, labels, ks=(1, 5))
         return {"loss": loss, "top1_err": e1, "top5_err": e5}

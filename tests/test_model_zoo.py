@@ -75,7 +75,8 @@ class TestModelContract:
         def loss_fn(params):
             (loss, logits), _ = model.apply(
                 {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
-                x, labels=y, train=True, mutable=["batch_stats"],
+                x, labels=y, train=True,
+                mutable=["batch_stats", "model_state"],
                 rngs={"dropout": jax.random.PRNGKey(1)},
             )
             return loss, logits
