@@ -38,7 +38,9 @@ __all__ = ["evaluate", "evaluate_synthetic"]
 def _load_model(cfg: EvalConfig, num_classes: int = 81313):
     import jax.numpy as jnp
 
-    model = get_model(cfg.model, num_classes=num_classes, **cfg.model_overrides)
+    overrides = dict(cfg.model_overrides)
+    overrides.setdefault("num_classes", num_classes)
+    model = get_model(cfg.model, **overrides)
     size = min(cfg.imsize, 224)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)),

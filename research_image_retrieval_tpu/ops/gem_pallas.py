@@ -8,9 +8,12 @@ on-chip, and only the final [B, D] descriptor is written back — no
 intermediate pooled/projected tensors ever hit HBM.
 
 Supports the bucket-validity mask used by variable-resolution extraction
-(mask-aware mean, see ops.pooling).  Grid = (batch, HW blocks); TPU grid
-steps run sequentially per core so the accumulator scratch carries across
-the HW blocks of one image.
+(mask-aware mean, see ops.pooling).  Layout: Mosaic needs the last two
+block dims (8, 128)-aligned, so the kernel processes 8 images per grid
+row, the mask rides a 128-lane tile, and the whiten weight is held in
+VMEM as bf16 (8 MB at 2048x2048).  TPU grid steps run sequentially per
+core, so the accumulator scratch carries across the HW blocks of one
+image-row.
 """
 
 from __future__ import annotations
@@ -44,26 +47,30 @@ def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, acc, cnt, *, p, eps, blk, hw):
         acc[:] = jnp.zeros_like(acc)
         cnt[:] = jnp.zeros_like(cnt)
 
-    x = x_ref[0].astype(jnp.float32)  # [BLK, C]
-    mask = m_ref[0].astype(jnp.float32)  # [BLK]
+    x = x_ref[:].astype(jnp.float32)  # [8, BLK, C]
+    mask = m_ref[:, :, 0].astype(jnp.float32)  # [8, BLK] (lane-tiled mask)
     # zero out padded rows past HW (when HW % blk != 0)
-    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)[:, 0]
-    in_range = (row + i * blk) < hw
-    mask = jnp.where(in_range, mask, 0.0)
+    pos = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1) + i * blk
+    mask = jnp.where(pos < hw, mask, 0.0)
 
     powed = jnp.clip(x, min=eps) ** p
-    acc[:] += jnp.sum(powed * mask[:, None], axis=0, keepdims=True)
-    cnt[0, 0] += jnp.sum(mask)
+    # masked reduce over the HW block axis (VPU; Mosaic has no batched
+    # contraction for this layout)
+    acc[:] += jnp.sum(powed * mask[:, :, None], axis=1)
+    cnt[:] += jnp.sum(mask, axis=1, keepdims=True)  # [8, 1] into [8, 128]
 
     @pl.when(i == nblk - 1)
     def _finalize():
-        mean = acc[:] / jnp.maximum(cnt[0, 0], 1.0)
-        pooled = mean ** (1.0 / p)  # [1, C]
+        count = jnp.maximum(cnt[:, :1], 1.0)  # [8, 1]
+        pooled = (acc[:] / count) ** (1.0 / p)  # [8, C]
         y = (
-            jnp.dot(pooled, w_ref[:], preferred_element_type=jnp.float32)
+            jnp.dot(
+                pooled, w_ref[:].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
             + b_ref[:]
-        )  # [1, D]
-        norm = jnp.sqrt(jnp.sum(y * y))
+        )  # [8, D]
+        norm = jnp.sqrt(jnp.sum(y * y, axis=1, keepdims=True))
         out_ref[:] = y / jnp.maximum(norm, 1e-12)
 
 
@@ -74,15 +81,19 @@ def pallas_gem_whiten_l2(
     p: float = 3.0,
     eps: float = 1e-6,
     valid_hw: jnp.ndarray | None = None,
-    block: int = 256,
+    block: int = 64,
+    weight_dtype=jnp.bfloat16,
 ):
     """Fused descriptor head.
 
     Args:
       fmap: [B, H, W, C] feature map.
-      weight: [C, D] whiten projection.  bias: [D].
+      weight: [C, D] whiten projection (held in VMEM as ``weight_dtype``,
+        bf16 by default so a 2048x2048 projection fits alongside the
+        feature blocks; fp32 accumulation either way).
+      bias: [D].
       valid_hw: optional [B, H, W] bucket mask.
-      block: HW rows per grid step (VMEM: block*C*4 bytes).
+      block: HW rows per grid step (VMEM: 8*block*C*4 bytes).
 
     Returns:
       [B, D] L2-normalized descriptors (fp32).
@@ -96,34 +107,47 @@ def pallas_gem_whiten_l2(
         if valid_hw is not None
         else jnp.ones((B, hw), jnp.float32)
     )
-    pad = (-hw) % block
-    if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad)))
+    hw_pad = (-hw) % block
+    if hw_pad:
+        x = jnp.pad(x, ((0, 0), (0, hw_pad), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, hw_pad)))
+    b_pad = (-B) % 8
+    if b_pad:
+        x = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
+        mask = jnp.pad(mask, ((0, b_pad), (0, 0)))
+    Bp = x.shape[0]
     nblk = x.shape[1] // block
+    # lane-tile the mask so its block is (8, block, 128)-aligned
+    mask = jnp.broadcast_to(mask[..., None], (*mask.shape, 128))
 
     kernel = functools.partial(_kernel, p=p, eps=eps, blk=block, hw=hw)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(B, nblk),
+        grid=(Bp // 8, nblk),
         in_specs=[
-            pl.BlockSpec((1, block, C), lambda b, i: (b, i, 0),
+            pl.BlockSpec((8, block, C), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda b, i: (b, i),
+            pl.BlockSpec((8, block, 128), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda b, i: (b, 0),
+        out_specs=pl.BlockSpec((8, D), lambda b, i: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, C), jnp.float32),
-            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.VMEM((8, C), jnp.float32),
+            pltpu.VMEM((8, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=B * (hw * C * 3 + 2 * C * D),
-            bytes_accessed=(B * hw * C + C * D + B * D) * 4,
-            transcendentals=B * C * 2,
+            flops=Bp * (hw * C * 3 + 2 * C * D),
+            bytes_accessed=(Bp * hw * C + C * D + Bp * D) * 4,
+            transcendentals=Bp * C * 2,
         ),
-    )(x, mask, weight.astype(jnp.float32), bias.reshape(1, D).astype(jnp.float32))
+    )(
+        x,
+        mask,
+        weight.astype(weight_dtype),
+        bias.reshape(1, D).astype(jnp.float32),
+    )
+    return out[:B]

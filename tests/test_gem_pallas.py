@@ -22,7 +22,7 @@ def test_matches_reference(rng):
     fmap, w, b = _setup(rng)
     want = gem_whiten_l2_reference(fmap, w, b, p=3.0)
     with pltpu.force_tpu_interpret_mode():
-        got = pallas_gem_whiten_l2(fmap, w, b, p=3.0, block=16)
+        got = pallas_gem_whiten_l2(fmap, w, b, p=3.0, block=16, weight_dtype='float32')
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
 
@@ -31,7 +31,7 @@ def test_hw_not_multiple_of_block(rng):
     fmap, w, b = _setup(rng, H=5, W=5)  # 25 tokens, block 16 -> padding
     want = gem_whiten_l2_reference(fmap, w, b)
     with pltpu.force_tpu_interpret_mode():
-        got = pallas_gem_whiten_l2(fmap, w, b, block=16)
+        got = pallas_gem_whiten_l2(fmap, w, b, block=16, weight_dtype='float32')
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
 
@@ -45,7 +45,7 @@ def test_masked_bucket(rng):
     want = gem_whiten_l2_reference(crop, w, b)
     with pltpu.force_tpu_interpret_mode():
         got = pallas_gem_whiten_l2(fmap, w, b, valid_hw=jnp.asarray(mask),
-                                   block=16)
+                                   block=16, weight_dtype='float32')
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
                                atol=1e-6)
 
@@ -57,3 +57,12 @@ def test_unit_norm(rng):
     np.testing.assert_allclose(
         np.linalg.norm(np.asarray(got), axis=1), 1.0, rtol=1e-6
     )
+
+
+def test_bf16_weight_tolerance(rng):
+    """Default bf16 weights: descriptor within bf16 rounding of fp32."""
+    fmap, w, b = _setup(rng)
+    want = gem_whiten_l2_reference(fmap, w, b)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_gem_whiten_l2(fmap, w, b, block=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-3)
