@@ -101,8 +101,22 @@ class ShardedBatchIterator:
         # one long-lived pool; spawning 8 threads per batch would put
         # thread setup/teardown on the input hot path
         if getattr(self, "_executor", None) is None:
+            import weakref
+
             self._executor = ThreadPoolExecutor(self.num_workers)
+            # join the workers when the iterator is garbage-collected so
+            # long-lived processes don't accumulate idle threads
+            weakref.finalize(
+                self, ThreadPoolExecutor.shutdown, self._executor, wait=False
+            )
         return self._executor
+
+    def close(self):
+        """Shut down the decode worker pool (idempotent)."""
+        ex = getattr(self, "_executor", None)
+        if ex is not None:
+            ex.shutdown(wait=False)
+            self._executor = None
 
     def _fetch(self, idx_batch: np.ndarray):
         if self.num_workers > 0:

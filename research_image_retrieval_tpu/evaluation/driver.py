@@ -52,12 +52,22 @@ def _load_model(cfg: EvalConfig, num_classes: int = 81313):
         restored = ocp.StandardCheckpointer().restore(
             os.path.abspath(cfg.checkpoint)
         )
-        # accept either raw variables or a TrainState-like dict
+        # accept the train driver's payload ({"state": TrainState, "it",
+        # "loop_epoch"}), a bare TrainState-like dict, or raw variables
+        if "state" in restored:
+            restored = restored["state"]
         if "params" in restored:
             variables = {
                 "params": restored["params"],
-                "batch_stats": restored.get("batch_stats", {}),
+                "batch_stats": restored.get("batch_stats", {}) or {},
             }
+            if restored.get("model_state"):
+                variables["model_state"] = restored["model_state"]
+        else:
+            raise ValueError(
+                f"unrecognized checkpoint layout at {cfg.checkpoint}: "
+                f"keys {sorted(restored)}"
+            )
     return model, variables
 
 

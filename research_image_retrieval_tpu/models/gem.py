@@ -89,8 +89,10 @@ class GeMModel(nn.Module):
         """Extraction via the fused GeM+whiten+L2 Pallas kernel.
 
         Identical numerics to ``extract`` (see tests/test_gem_pallas.py);
-        the pooled/projected intermediates never leave VMEM.  TPU only —
-        use ``extract`` elsewhere.
+        the pooled/projected intermediates never leave VMEM.  NOTE: with
+        honest in-graph timing plain ``extract`` is FASTER (XLA fuses this
+        epilogue itself — BENCH.md); keep this for masked-bucket
+        experiments, prefer ``extract`` in production.
         """
         from research_image_retrieval_tpu.ops.gem_pallas import (
             pallas_gem_whiten_l2,

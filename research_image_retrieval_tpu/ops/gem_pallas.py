@@ -38,7 +38,11 @@ def gem_whiten_l2_reference(fmap, weight, bias, p=3.0, eps=1e-6, valid_hw=None):
     return l2_normalize(y, axis=-1)
 
 
-def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, acc, cnt, *, p, eps, blk, hw):
+def _kernel(*refs, p, eps, blk, hw, has_mask):
+    if has_mask:
+        x_ref, m_ref, w_ref, b_ref, out_ref, acc, cnt = refs
+    else:
+        x_ref, w_ref, b_ref, out_ref, acc, cnt = refs
     i = pl.program_id(1)
     nblk = pl.num_programs(1)
 
@@ -48,7 +52,10 @@ def _kernel(x_ref, m_ref, w_ref, b_ref, out_ref, acc, cnt, *, p, eps, blk, hw):
         cnt[:] = jnp.zeros_like(cnt)
 
     x = x_ref[:].astype(jnp.float32)  # [8, BLK, C]
-    mask = m_ref[:, :, 0].astype(jnp.float32)  # [8, BLK] (lane-tiled mask)
+    if has_mask:
+        mask = m_ref[:, :, 0].astype(jnp.float32)  # [8, BLK] (lane-tiled)
+    else:
+        mask = jnp.ones(x.shape[:2], jnp.float32)
     # zero out padded rows past HW (when HW % blk != 0)
     pos = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 1) + i * blk
     mask = jnp.where(pos < hw, mask, 0.0)
@@ -101,37 +108,52 @@ def pallas_gem_whiten_l2(
     B, H, W, C = fmap.shape
     D = weight.shape[1]
     hw = H * W
+    has_mask = valid_hw is not None
     x = fmap.reshape(B, hw, C)
-    mask = (
-        valid_hw.reshape(B, hw).astype(jnp.float32)
-        if valid_hw is not None
-        else jnp.ones((B, hw), jnp.float32)
-    )
     hw_pad = (-hw) % block
+    b_pad = (-B) % 8
     if hw_pad:
         x = jnp.pad(x, ((0, 0), (0, hw_pad), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, hw_pad)))
-    b_pad = (-B) % 8
     if b_pad:
         x = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, b_pad), (0, 0)))
     Bp = x.shape[0]
     nblk = x.shape[1] // block
-    # lane-tile the mask so its block is (8, block, 128)-aligned
-    mask = jnp.broadcast_to(mask[..., None], (*mask.shape, 128))
 
-    kernel = functools.partial(_kernel, p=p, eps=eps, blk=block, hw=hw)
+    inputs = [x]
+    in_specs = [
+        pl.BlockSpec((8, block, C), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_mask:
+        mask = valid_hw.reshape(B, hw).astype(jnp.float32)
+        if hw_pad:
+            mask = jnp.pad(mask, ((0, 0), (0, hw_pad)))
+        if b_pad:
+            mask = jnp.pad(mask, ((0, b_pad), (0, 0)))
+        # lane-tile the mask so its block is (8, block, 128)-aligned; the
+        # unmasked path skips this operand entirely (the in-kernel iota
+        # range check covers HW padding for free)
+        mask = jnp.broadcast_to(mask[..., None], (*mask.shape, 128))
+        inputs.append(mask)
+        in_specs.append(
+            pl.BlockSpec((8, block, 128), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    inputs += [weight.astype(weight_dtype),
+               bias.reshape(1, D).astype(jnp.float32)]
+    in_specs += [
+        pl.BlockSpec((C, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+
+    kernel = functools.partial(
+        _kernel, p=p, eps=eps, blk=block, hw=hw, has_mask=has_mask
+    )
+    mask_bytes = (Bp * (hw + hw_pad) * 128 * 4) if has_mask else 0
     out = pl.pallas_call(
         kernel,
         grid=(Bp // 8, nblk),
-        in_specs=[
-            pl.BlockSpec((8, block, C), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, block, 128), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((8, D), lambda b, i: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Bp, D), jnp.float32),
@@ -141,13 +163,8 @@ def pallas_gem_whiten_l2(
         ],
         cost_estimate=pl.CostEstimate(
             flops=Bp * (hw * C * 3 + 2 * C * D),
-            bytes_accessed=(Bp * hw * C + C * D + Bp * D) * 4,
+            bytes_accessed=(Bp * hw * C + C * D + Bp * D) * 4 + mask_bytes,
             transcendentals=Bp * C * 2,
         ),
-    )(
-        x,
-        mask,
-        weight.astype(weight_dtype),
-        bias.reshape(1, D).astype(jnp.float32),
-    )
+    )(*inputs)
     return out[:B]

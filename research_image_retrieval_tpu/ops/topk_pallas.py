@@ -171,39 +171,40 @@ def pallas_streaming_topk(
     return out_s, jnp.clip(out_i, 0, N - 1)
 
 
-def scan_streaming_topk(
-    queries: jnp.ndarray,
-    gallery: jnp.ndarray,
-    k: int = 100,
-    chunk: int = 4096,
-):
-    """Portable streaming top-k: lax.scan over gallery chunks.
+def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype):
+    """Shared streaming driver: lax.scan over gallery chunks, carrying the
+    running [Q, k] winners; ``select_fn(scores, kk)`` picks per-chunk
+    candidates (exact lax.top_k or the TPU approx_max_k reduction).
 
-    Never materializes the full [Q, N] score matrix; the carry holds the
-    running [Q, k] winners merged with lax.top_k per chunk.
+    ``n_valid`` masks rows with global id >= n_valid to -inf BEFORE
+    selection (pad rows must never displace real negative-similarity
+    neighbors — and a sharded caller's shard may hold globally-padded
+    rows, so this can be a traced value).
     """
-    queries = jnp.asarray(queries, jnp.float32)
+    queries = jnp.asarray(queries).astype(compute_dtype)
     gallery = jnp.asarray(gallery)  # keep storage dtype (fp32 or bf16)
     Q, D = queries.shape
     N = gallery.shape[0]
+    if n_valid is None:
+        n_valid = N
     pad = (-N) % chunk
     if pad:
         gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
     chunks = gallery.reshape(-1, chunk, D)
+    kk = min(k, chunk)
 
     def body(carry, inp):
         run_s, run_i = carry
         g_chunk, base = inp
-        scores = jnp.matmul(queries, g_chunk.astype(jnp.float32).T,
+        scores = jnp.matmul(queries, g_chunk.astype(compute_dtype).T,
                             preferred_element_type=jnp.float32)
         ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
-        # padded rows (global id >= N) must never win — mask to -inf
-        scores = jnp.where(ids < N, scores, _NEG)
-        cand_s = jnp.concatenate([run_s, scores], axis=1)
-        cand_i = jnp.concatenate([run_i, jnp.broadcast_to(ids, scores.shape)], axis=1)
-        s, sel = jax.lax.top_k(cand_s, k)
-        i = jnp.take_along_axis(cand_i, sel, axis=1)
-        return (s, i), None
+        scores = jnp.where(ids < n_valid, scores, _NEG)
+        s, i = select_fn(scores, kk)
+        cand_s = jnp.concatenate([run_s, s], axis=1)
+        cand_i = jnp.concatenate([run_i, i + base], axis=1)
+        s2, sel = jax.lax.top_k(cand_s, k)
+        return (s2, jnp.take_along_axis(cand_i, sel, axis=1)), None
 
     init = (
         jnp.full((Q, k), _NEG, jnp.float32),
@@ -212,6 +213,25 @@ def scan_streaming_topk(
     bases = (jnp.arange(chunks.shape[0], dtype=jnp.int32) * chunk)
     (scores, idx), _ = jax.lax.scan(body, init, (chunks, bases))
     return scores, jnp.clip(idx, 0, N - 1)
+
+
+def scan_streaming_topk(
+    queries: jnp.ndarray,
+    gallery: jnp.ndarray,
+    k: int = 100,
+    chunk: int = 4096,
+    n_valid=None,
+):
+    """Portable EXACT streaming top-k: lax.scan over gallery chunks.
+
+    Never materializes the full [Q, N] score matrix; the carry holds the
+    running [Q, k] winners merged with lax.top_k per chunk.  ``n_valid``
+    (possibly traced) masks globally-padded rows for sharded callers.
+    """
+    return _scan_stream(
+        queries, gallery, k, chunk, n_valid,
+        select_fn=jax.lax.top_k, compute_dtype=jnp.float32,
+    )
 
 
 def approx_streaming_topk(
@@ -227,56 +247,36 @@ def approx_streaming_topk(
     ``lax.approx_max_k`` is the TPU-native partial-reduction top-k
     (Chern et al., "TPU-KNN") — O(N) instead of the O(N log N) sort that
     ``lax.top_k`` lowers to.  With bf16 scoring and ~N/4 chunks this runs
-    near HBM speed-of-light: measured 8.7 ms at recall@100 = 0.9994 for
-    top-100 over 1.4M x 2048 bf16 on one v5e chip (662 GB/s effective) vs
-    65 ms for the exact scan — beating the BASELINE <10 ms target
-    (budgeted for 8 chips) on one.
+    near HBM speed-of-light: measured 9.6 ms at recall@100 = 0.9994 for
+    top-100 over 1.4M x 2048 bf16 on one v5e chip (597 GB/s effective,
+    in-graph slope timing) vs 38.8 ms for the exact scan — meeting the
+    BASELINE <10 ms target (budgeted for 8 chips) on one chip.
 
     Per-chunk recall is ``recall_target``; the cross-chunk merge is exact.
     Use ``scan_streaming_topk`` when bit-exact ranking is required (e.g.
     the mAP parity gate); use this for serving.
     """
-    queries = jnp.asarray(queries)
-    gallery = jnp.asarray(gallery)
-    Q, D = queries.shape
-    N = gallery.shape[0]
+    N = jnp.asarray(gallery).shape[0]
     if chunk is None:
         chunk = min(max(-(-N // 4), 8192), N)  # ~4 chunks, BW-optimal
-    pad = (-N) % chunk
-    if pad:
-        gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
-    chunks = gallery.reshape(-1, chunk, D)
-    q = queries.astype(compute_dtype)
-
-    def body(carry, inp):
-        run_s, run_i = carry
-        g_chunk, base = inp
-        scores = jnp.matmul(
-            q, g_chunk.astype(compute_dtype).T,
-            preferred_element_type=jnp.float32,
-        )
-        ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
-        scores = jnp.where(ids < N, scores, _NEG)
-        kk = min(k, chunk)
-        s, i = jax.lax.approx_max_k(scores, kk, recall_target=recall_target)
-        cand_s = jnp.concatenate([run_s, s], axis=1)
-        cand_i = jnp.concatenate([run_i, i + base], axis=1)
-        s2, sel = jax.lax.top_k(cand_s, k)
-        return (s2, jnp.take_along_axis(cand_i, sel, axis=1)), None
-
-    init = (
-        jnp.full((Q, k), _NEG, jnp.float32),
-        jnp.zeros((Q, k), jnp.int32),
+    select = lambda scores, kk: jax.lax.approx_max_k(
+        scores, kk, recall_target=recall_target
     )
-    bases = jnp.arange(chunks.shape[0], dtype=jnp.int32) * chunk
-    (scores, idx), _ = jax.lax.scan(body, init, (chunks, bases))
-    return scores, jnp.clip(idx, 0, N - 1)
+    return _scan_stream(
+        queries, gallery, k, chunk, None,
+        select_fn=select, compute_dtype=compute_dtype,
+    )
 
 
-def streaming_topk(queries, gallery, k: int = 100, block: int = 512,
+def streaming_topk(queries, gallery, k: int = 100, chunk: int | None = None,
                    exact: bool = True):
-    """Dispatch: approx serving path on TPU (exact=False), scan otherwise."""
+    """Dispatch: exact scan stream, or the approx serving path on TPU.
+
+    The Pallas kernel (``pallas_streaming_topk``) stays available for
+    direct calls; the serving-optimal engine on TPU is the approx path.
+    """
     platform = jax.devices()[0].platform
     if not exact and platform in ("tpu", "axon"):
-        return approx_streaming_topk(queries, gallery, k=k)
-    return scan_streaming_topk(queries, gallery, k=k)
+        return approx_streaming_topk(queries, gallery, k=k, chunk=chunk)
+    return scan_streaming_topk(queries, gallery, k=k,
+                               chunk=chunk or 4096)

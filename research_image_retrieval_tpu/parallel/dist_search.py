@@ -128,11 +128,15 @@ def sharded_streaming_topk(
     )
     def local_stream_merge(q, g_shard):
         kk = min(k, shard_n)
-        s, i = scan_streaming_topk(q, g_shard, k=kk, chunk=local_chunk)
         shard_id = jax.lax.axis_index(axis)
+        # rows of this shard with global id >= N are padding — mask BEFORE
+        # the local selection so a zero pad row can't displace a real
+        # negative-similarity neighbor inside the shard
+        n_valid_local = jnp.clip(N - shard_id * shard_n, 0, shard_n)
+        s, i = scan_streaming_topk(
+            q, g_shard, k=kk, chunk=local_chunk, n_valid=n_valid_local
+        )
         gi = i + shard_id * shard_n
-        # padded rows live in the last shard; mask them out of the merge
-        s = jnp.where(gi < N, s, -jnp.inf)
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
         ms, mi = jax.lax.top_k(all_s, k)

@@ -161,17 +161,14 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             return "main"
         return "warm" if epoch < cfg.switch_epoch else "main"
 
-    start_epoch = resume_epoch if resume_epoch is not None else 0
-    tx = build_optimizer(cfg, ipe, phase_for(start_epoch))
-
     sample_imgs, sample_labels = next(iter(train_it.epoch_batches()))
     train_it.epoch, train_it.step = 0, 0  # rewind the probe batch
-    state = create_train_state(
-        model, jax.random.PRNGKey(cfg.seed), jnp.asarray(sample_imgs),
-        jnp.asarray(sample_labels), tx, mesh=mesh,
-    )
-    train_step = make_train_step(model, tx, mesh=mesh, donate=False)
-    eval_step = make_eval_step(model, mesh=mesh)
+
+    def fresh_state(tx_):
+        return create_train_state(
+            model, jax.random.PRNGKey(cfg.seed), jnp.asarray(sample_imgs),
+            jnp.asarray(sample_labels), tx_, mesh=mesh,
+        )
 
     def snapshot():
         """Checkpoint payload: model/optimizer state + data-iterator state
@@ -186,18 +183,53 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             "loop_epoch": np.asarray(train_it.epoch, np.int64),
         }
 
-    if resume_mgr is not None:
-        restored, ep = resume_mgr.restore(snapshot(), epoch=resume_epoch)
+    start_epoch = 0
+    if resume_mgr is None:
+        phase = phase_for(0)
+        tx = build_optimizer(cfg, ipe, phase)
+        state = fresh_state(tx)
+    else:
+        # the checkpoint's opt_state structure depends on the optimizer
+        # phase it was SAVED under (warm vs main around the hand-off
+        # boundary), which the checkpoint key alone cannot disambiguate —
+        # try each phase's template
+        phases = (
+            ("warm", "main") if cfg.optimizer == "adamw_then_sgd" else ("main",)
+        )
+        restored = None
+        last_err = None
+        for ph in phases:
+            tx_try = build_optimizer(cfg, ipe, ph)
+            state_try = fresh_state(tx_try)
+            template = {
+                "state": jax.tree.map(np.asarray, state_try),
+                "it": {
+                    k: np.asarray(v, np.int64)
+                    for k, v in train_it.state_dict().items()
+                },
+                "loop_epoch": np.asarray(0, np.int64),
+            }
+            try:
+                restored, ep = resume_mgr.restore(template, epoch=resume_epoch)
+                tx, state, phase = tx_try, state_try, ph
+                break
+            except Exception as e:  # structure mismatch -> other phase
+                last_err = e
+        if restored is None:
+            raise last_err
         state = jax.tree.map(jnp.asarray, restored["state"])
         train_it.load_state_dict(
             {k: int(v) for k, v in restored["it"].items()}
         )
         start_epoch = int(restored["loop_epoch"])
-        print(f">> resumed from checkpoint {ep} at loop epoch {start_epoch}, "
-              f"data step {train_it.step}")
+        print(f">> resumed from checkpoint {ep} (optimizer phase '{phase}') "
+              f"at loop epoch {start_epoch}, data step {train_it.step}")
+
+    train_step = make_train_step(model, tx, mesh=mesh, donate=False)
+    eval_step = make_eval_step(model, mesh=mesh)
 
     history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
-    switched = phase_for(start_epoch) == "main"
+    switched = phase == "main"
     guard = PreemptionGuard()  # SIGTERM -> checkpoint and exit cleanly
 
     for epoch in range(start_epoch, cfg.num_epochs):

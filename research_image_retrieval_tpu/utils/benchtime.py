@@ -34,26 +34,51 @@ def chain_perturb(x, out):
     return jax.tree.map(lambda a: a + eps.astype(a.dtype), x)
 
 
-def _run_chain(step: Callable, x0, n: int) -> float:
-    x = x0
-    out = None
+def _make_chain(step: Callable, n: int):
+    """One jitted program running ``n`` data-dependent step iterations.
+
+    The whole chain executes device-side in a single dispatch, so host /
+    tunnel starvation between steps (observed: a busy host inflated a
+    5 ms step to 47 ms with Python-loop chaining) cannot pollute the
+    measurement.  Extra ``args`` flow through as runtime jit arguments —
+    never close over large arrays (they would be captured as multi-GB
+    constants in the compiled program on this rig).
+    """
+
+    @jax.jit
+    def chain(x, *args):
+        def body(_, carry):
+            out = step(carry, *args)
+            return chain_perturb(carry, out)
+
+        final = jax.lax.fori_loop(0, n, body, x)
+        return step(final, *args)
+
+    return chain
+
+
+def _run_chain(chain, x0, args) -> float:
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = step(x)
-        x = chain_perturb(x, out)
+    out = chain(x0, *args)
     # single forced completion via tiny readback
     np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
     return time.perf_counter() - t0
 
 
-def timed_slope(step: Callable, x0, n_small: int = 3, n_large: int = 13) -> float:
-    """Per-step seconds of ``step`` via two chained runs.
+def timed_slope(
+    step: Callable, x0, n_small: int = 3, n_large: int = 13, args=()
+) -> float:
+    """Per-step seconds of ``step`` via the slope of two in-graph chains.
 
-    ``step(x) -> out`` must accept its (possibly perturbed) input again.
-    Warm up separately before calling (compile excluded by the slope
-    anyway, but warmup keeps both runs on the cached executable).
+    ``step(x, *args) -> out`` must be traceable and accept its (perturbed)
+    first input again; large constants (galleries, weights) go in ``args``.
+    The constant compile/dispatch/readback overhead cancels in the slope;
+    the chain itself is one XLA program per length.
     """
-    _run_chain(step, x0, 1)  # warmup / compile
-    t_small = _run_chain(step, x0, n_small)
-    t_large = _run_chain(step, x0, n_large)
+    small = _make_chain(step, n_small)
+    large = _make_chain(step, n_large)
+    _run_chain(small, x0, args)  # compile both before timing
+    _run_chain(large, x0, args)
+    t_small = _run_chain(small, x0, args)
+    t_large = _run_chain(large, x0, args)
     return max(t_large - t_small, 1e-9) / (n_large - n_small)

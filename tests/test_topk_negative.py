@@ -86,3 +86,16 @@ class TestNoPhantomHits:
             s, i = fn(q, g, k=5, mesh=mesh)
             np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
             assert np.asarray(s).min() <= -0.99
+
+    def test_sharded_streaming_pad_displacement(self):
+        """k < shard_n with pad rows in the last shard: the pad must not
+        displace the shard's only (negative-score) true winner before the
+        merge (review finding: post-selection masking lost it)."""
+        q = np.zeros((1, 4), np.float32)
+        q[0, 0] = 1.0
+        g = -np.tile(q, (10, 1)).astype(np.float32)  # cos -1 everywhere...
+        g[9] = [-0.2, np.sqrt(1 - 0.04), 0, 0]  # ...except row 9 (cos -0.2)
+        mesh = make_mesh(data=8, model=1)  # shard_n=2, last shard padded
+        s, i = sharded_streaming_topk(q, g, k=1, mesh=mesh)
+        assert int(np.asarray(i)[0, 0]) == 9
+        assert abs(float(np.asarray(s)[0, 0]) - (-0.2)) < 1e-5
