@@ -99,7 +99,9 @@ class SpcaLayer(nn.Module):
         )
         cov = self.param("cov", nn.initializers.ones, (1, self.K))
 
-        templates = nn.LayerNorm(name="norm_templates")(clusters)  # [1, K, D]
+        # torch LayerNorm epsilon (1e-5): the distance-encoded features have
+        # tiny variance, so the eps choice is visible in the output scale
+        templates = nn.LayerNorm(epsilon=1e-5, name="norm_templates")(clusters)
         # ||x - t||^2 over feature dim: [B, HW, K]
         sq = (
             jnp.sum(x**2, -1, keepdims=True)
@@ -120,7 +122,9 @@ class SpcaLayer(nn.Module):
             for m in masks
         ]
         outp = jnp.concatenate(parts, axis=1)  # [B, K*multi, HW]
-        outp = nn.LayerNorm(name="p_norm")(outp.transpose(0, 2, 1))  # over ch
+        outp = nn.LayerNorm(epsilon=1e-5, name="p_norm")(
+            outp.transpose(0, 2, 1)
+        )  # over channels
         outp = outp.reshape(B, H, W, self.K * self.multi)
         attn_map = attn.reshape(B, H, W, self.K)
         return outp, attn_map
