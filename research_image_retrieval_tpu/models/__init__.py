@@ -3,8 +3,8 @@
 Every model preserves the reference's behavioral contract
 (reference: networks/spca.py:54-95 and models/wrappers.py):
 
-  apply_train(variables, images, labels)  -> (loss, logits, aux)
-  apply_extract(variables, images)        -> L2-normalized descriptor
+  model.apply(variables, images, labels, train=...) -> (loss, logits)
+  model.apply(variables, images, method="extract")  -> L2-normalized descriptor
 
 so trainers and the extraction/eval stack are model-agnostic.
 """

@@ -141,6 +141,11 @@ class AdaptiveHybridModel(nn.Module):
     def extract(self, x, valid_hw=None):
         """Equal-weight fused descriptor (the query-side fusion rule,
         reference: ...complete.py:415-421)."""
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         sc, regional, scale = self.descriptors(x, train=False)
         return l2_normalize((sc + regional + scale) / 3.0)
 

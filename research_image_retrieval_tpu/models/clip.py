@@ -133,4 +133,9 @@ class CLIP(nn.Module):
 
     def extract(self, images, valid_hw=None):
         """Retrieval-facing descriptor (L2-normalized image embedding)."""
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         return l2_normalize(self.image_features(images))

@@ -180,5 +180,10 @@ class CVNetRerank(nn.Module):
 
     def extract(self, img, valid_hw=None):
         """Global descriptor from the frozen encoder (stage-5 GeM)."""
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         f5 = self.encoder(img, train=False)[5]
         return l2_normalize(gem_pool(f5, p=3.0))

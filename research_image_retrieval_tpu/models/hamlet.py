@@ -144,6 +144,11 @@ class HAMLETModel(nn.Module):
         return loss, logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         fused, _ = self._multi_scale(x, train=False)
         return l2_normalize(fused)
 

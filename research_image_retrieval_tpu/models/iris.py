@@ -42,14 +42,19 @@ class ORACLE(nn.Module):
     def __call__(self, fmap, deterministic: bool = True):
         B, H, W, C = fmap.shape
         conv = nn.relu(nn.Conv(512, (3, 3), padding=1, name="conv_reduce")(fmap))
-        # adaptive average pool to (num_objects, 1) over the spatial grid
-        tokens = conv.reshape(B, H * W, 512)
-        n = H * W
-        # split HW tokens into num_objects contiguous groups and average
-        pad = (-n) % self.num_objects
-        if pad:
-            tokens = jnp.pad(tokens, ((0, 0), (0, pad), (0, 0)))
-        obj = tokens.reshape(B, self.num_objects, -1, 512).mean(axis=2)
+        # AdaptiveAvgPool2d((num_objects, 1)) semantics: bins over the H
+        # axis (each averaging the full W), bin i = rows
+        # [floor(i*H/O), ceil((i+1)*H/O)) — bins always overlap real rows,
+        # so no object slot is ever empty (unlike contiguous zero-padded
+        # chunking, which left dead slots when H*W < num_objects * chunk)
+        rows = conv.mean(axis=2)  # [B, H, 512]
+        bins = []
+        for i in range(self.num_objects):
+            lo = (i * H) // self.num_objects
+            hi = -(-(i + 1) * H // self.num_objects)
+            hi = max(hi, lo + 1)
+            bins.append(rows[:, lo:hi].mean(axis=1))
+        obj = jnp.stack(bins, axis=1)  # [B, O, 512]
         obj = nn.Dense(self.output_dim, name="obj_proj")(obj)  # [B, O, D]
 
         attended = nn.MultiHeadDotProductAttention(
@@ -177,6 +182,11 @@ class IRISModel(nn.Module):
         return iris_loss(logits, feat, labels), logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         return l2_normalize(self._features(x, train=False))
 
 

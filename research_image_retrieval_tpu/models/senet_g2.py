@@ -40,12 +40,14 @@ class SEBottleneck(nn.Module):
     width: int
     stride: int = 1
     reduction: int = 16
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         out_ch = self.width * 4
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            axis_name=self.bn_axis_name if train else None, name=name,
         )
         idt = x
         y = nn.relu(norm("bn1")(nn.Conv(self.width, (1, 1), use_bias=False,
@@ -80,7 +82,11 @@ class SENetG2Model(nn.Module):
     def setup(self):
         self.stem_conv = nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
                                  use_bias=False, name="conv1")
-        self.stem_bn = nn.BatchNorm(momentum=0.9, epsilon=1e-5, name="bn1")
+        # axis_name only takes effect when batch stats are computed
+        # (train), so it is safe to set unconditionally here
+        self.stem_bn = nn.BatchNorm(
+            momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, name="bn1"
+        )
         blocks = []
         for i, (d, w) in enumerate(zip(self.layers, (64, 128, 256, 512))):
             for j in range(d):
@@ -89,6 +95,7 @@ class SENetG2Model(nn.Module):
                         width=w,
                         stride=2 if (j == 0 and i > 0) else 1,
                         reduction=self.reduction,
+                        bn_axis_name=self.bn_axis_name,
                         name=f"layer{i + 1}_{j}",
                     )
                 )
@@ -102,8 +109,8 @@ class SENetG2Model(nn.Module):
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
     def _features(self, x, train: bool):
-        y = nn.relu(self.stem_bn(self.stem_conv(x),
-                                 use_running_average=not train))
+        y = self.stem_bn(self.stem_conv(x), use_running_average=not train)
+        y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for block in self.blocks:
             y = block(y, train=train)
@@ -117,6 +124,11 @@ class SENetG2Model(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         return l2_normalize(self._features(x, train=False))
 
 

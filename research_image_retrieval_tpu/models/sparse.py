@@ -146,6 +146,11 @@ class SparseRetrievalModel(nn.Module):
         return loss, logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         feat, _, _ = self._encode(x, train=False)
         return l2_normalize(feat)
 

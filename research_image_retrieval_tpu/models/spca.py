@@ -13,7 +13,7 @@ Behavioral contract of the reference (networks/spca.py:18-358):
   they are pure dead compute; this implementation keeps the live path
   only, producing identical outputs and gradients.
 * Distance encoding (spca.py:182-202): pairwise coordinate distances ->
-  exp(-sqrt(d)) -> row-normalized transition matrix A; masks are
+  exp(-sqrt(d)) -> column-normalized transition matrix A; masks are
   A^2 .. A^(multi+1).  The reference materializes a per-sample [B, HW, HW]
   copy; here one [HW, HW] matrix is shared across the batch (identical
   math, B-fold less memory).
@@ -66,7 +66,10 @@ def distance_encoding_masks(H: int, W: int, multi: int):
     """
     d2 = jnp.asarray(_coord_distance(H, W))
     mask = jnp.exp(-jnp.sqrt(jnp.abs(d2)))
-    A = mask / jnp.sum(mask, axis=1, keepdims=True)
+    # reference normalizes by COLUMN sums (spca.py:195: sum over dim=1 of
+    # [B, HW, HW], broadcast down the rows); the matrix is symmetric so
+    # row-normalizing would silently produce the transpose
+    A = mask / jnp.sum(mask, axis=0, keepdims=True)
     out = []
     M = jnp.matmul(A, A, preferred_element_type=jnp.float32)
     out.append(M)
@@ -299,6 +302,11 @@ class SpCaModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         return l2_normalize(self._descriptor(x, train=False))
 
 

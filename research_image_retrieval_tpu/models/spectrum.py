@@ -197,9 +197,16 @@ class SPECTRUMModel(nn.Module):
         return loss + self.consistency_weight * cons, logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         base = self._base(x, train=False)
         prism_out = self.prism(base, None)["fused"]
-        return l2_normalize(self.harmony([base, prism_out, base, prism_out]))
+        # slot order must match training ([base, castle, prism, nexus]);
+        # the batch modules (castle/nexus) are identity = base at serving
+        return l2_normalize(self.harmony([base, base, prism_out, base]))
 
 
 register_model(

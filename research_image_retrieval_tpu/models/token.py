@@ -25,6 +25,7 @@ from research_image_retrieval_tpu.models.layers import Decoder, Encoder
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
     arcface_delg_logits,
+    arcface_logits,
     cross_entropy,
     l2_normalize,
 )
@@ -98,13 +99,20 @@ class TokenRefine(nn.Module):
 
 
 class TokenModel(nn.Module):
-    """ResNet + Token_Refine + ArcFace (reference: RetrievalNet.py:290-313)."""
+    """ResNet + Token_Refine + ArcFace (reference: RetrievalNet.py:290-313).
+
+    ``use_delg_arcface=False`` (default) matches the reference Token class
+    (plain ArcFace, RetrievalNet.py:296); True matches the reference
+    RetrievalNet variant (ArcFace-DELG with the hard-example EMA buffer,
+    RetrievalNet.py:271).
+    """
 
     backbone_name: str = "resnet101"
     outputdim: int = 1024
     num_classes: int = 81313
     num_object: int = 4
     m: float = 0.2
+    use_delg_arcface: bool = False
     bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
@@ -124,26 +132,36 @@ class TokenModel(nn.Module):
             nn.initializers.xavier_uniform(),
             (self.num_classes, self.outputdim),
         )
-        # ArcFace-DELG hard-example EMA buffer, like the reference
-        # Token/RetrievalNet (RetrievalNet.py:271); lives in the
-        # "model_state" collection and is threaded through the train step.
-        self.t_var = self.variable(
-            "model_state", "arcface_t", lambda: jnp.zeros((1,), jnp.float32)
-        )
+        if self.use_delg_arcface:
+            # ArcFace-DELG hard-example EMA buffer (RetrievalNet.py:271);
+            # lives in "model_state" and threads through the train step.
+            self.t_var = self.variable(
+                "model_state", "arcface_t", lambda: jnp.zeros((1,), jnp.float32)
+            )
 
     def __call__(self, x, labels, train: bool = True):
         fmap = self.backbone(x, train=train)
         feat = self.tr(fmap, train=train)
         s = float(self.outputdim) ** 0.5
-        logits, new_t = arcface_delg_logits(
-            feat, self.classifier_w, labels, t_state=self.t_var.value,
-            s=s, m=self.m,
-        )
-        if train and not self.is_initializing():
-            self.t_var.value = new_t
+        if self.use_delg_arcface:
+            logits, new_t = arcface_delg_logits(
+                feat, self.classifier_w, labels, t_state=self.t_var.value,
+                s=s, m=self.m,
+            )
+            if train and not self.is_initializing():
+                self.t_var.value = new_t
+        else:
+            logits = arcface_logits(
+                feat, self.classifier_w, labels, s=s, m=self.m
+            )
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         fmap = self.backbone(x, train=False)
         return l2_normalize(self.tr(fmap, train=False))
 
@@ -155,6 +173,14 @@ register_model(
     family="token",
     paper="Token-based representation (Wu et al.)",
     table1_names=("R101-Token",),
+)(TokenModel)
+
+register_model(
+    "retrievalnet_r101",
+    description="RetrievalNet: Token head with ArcFace-DELG hard-example EMA (reference RetrievalNet.py:263-286)",
+    defaults=dict(backbone_name="resnet101", outputdim=1024,
+                  use_delg_arcface=True),
+    family="token",
 )(TokenModel)
 
 register_model(

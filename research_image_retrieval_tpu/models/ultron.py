@@ -396,6 +396,11 @@ class ULTRONRetrievalModel(nn.Module):
         return loss, aux["logits"]
 
     def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
         return l2_normalize(self._descriptor(x, train=False))
 
 

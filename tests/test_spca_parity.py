@@ -29,7 +29,9 @@ def torch_distance_masks(H, W, multi):
     inner = -2 * coord @ coord.T
     sq = (coord * coord).sum(1, keepdim=True)
     mask = torch.exp(-torch.abs((sq + inner + sq.T).sqrt()))
-    A = mask / mask.sum(1, keepdim=True)
+    # reference: D = repeat(mask.sum(dim=1, keepdim=True) over rows) ->
+    # divide each COLUMN by its sum (spca.py:195-196)
+    A = mask / mask.sum(0, keepdim=True)
     out, m = [], A
     for _ in range(multi):
         m = m @ A

@@ -16,7 +16,7 @@ from research_image_retrieval_tpu.train import (
 
 def test_ema_t_updates_through_train_step(rng):
     model = get_model("token_r50", backbone_name="resnet18", outputdim=64,
-                      num_classes=8)
+                      num_classes=8, use_delg_arcface=True)
     tx = make_sgd_optimizer(0.01)
     x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
     y = jnp.asarray(np.array([1, 3]))
