@@ -29,6 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
     p.add_argument("--output", default=None, help="write results JSON here")
+    p.add_argument("--output-csv", default=None,
+                   help="write a combined CSV (dataset, easy, medium, hard) "
+                        "like the reference's iris_evaluate results table")
     return p
 
 
@@ -56,6 +59,13 @@ def main(argv=None):
         with open(args.output, "w") as f:
             json.dump(serializable, f, indent=2)
         print(f">> wrote {args.output}")
+    if args.output_csv:
+        with open(args.output_csv, "w") as f:
+            f.write("dataset,mAP_easy,mAP_medium,mAP_hard\n")
+            for ds, res in results.items():
+                e, m, h = (res if isinstance(res, tuple) else (res, res, res))
+                f.write(f"{ds},{e},{m},{h}\n")
+        print(f">> wrote {args.output_csv}")
     return 0
 
 
