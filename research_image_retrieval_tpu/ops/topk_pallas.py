@@ -215,22 +215,59 @@ def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype):
     return scores, jnp.clip(idx, 0, N - 1)
 
 
+def _grouped_exact_select(scores: jnp.ndarray, kk: int, group: int = 128):
+    """EXACT top-kk via group-max pre-filtering.
+
+    The top-kk elements always lie inside the top-kk groups by group-max:
+    if element e's group were outside them, >= kk groups would have a max
+    above e, each contributing an element above e — contradiction.  So
+    sorting the [C/group] group maxima plus the kk*group gathered
+    candidates replaces the O(C log C) full sort with
+    O(C + (C/group + kk*group) log(...)) — the lever that makes the exact
+    stream bandwidth-bound instead of sort-bound.
+    """
+    Q, C = scores.shape
+    pad = (-C) % group
+    if pad:
+        scores = jnp.pad(scores, ((0, 0), (0, pad)), constant_values=_NEG)
+    ng = scores.shape[1] // group
+    if ng <= kk:  # pre-filter can't prune anything — plain sort
+        s, i = jax.lax.top_k(scores, kk)
+        return s, i
+    g = scores.reshape(Q, ng, group)
+    gmax = jnp.max(g, axis=-1)  # [Q, ng]
+    _, gi = jax.lax.top_k(gmax, kk)  # [Q, kk] winning groups
+    cand = jnp.take_along_axis(g, gi[:, :, None], axis=1)  # [Q, kk, group]
+    s, ci = jax.lax.top_k(cand.reshape(Q, kk * group), kk)
+    orig = (
+        jnp.take_along_axis(gi, ci // group, axis=1) * group + ci % group
+    )
+    return s, orig
+
+
 def scan_streaming_topk(
     queries: jnp.ndarray,
     gallery: jnp.ndarray,
     k: int = 100,
     chunk: int = 4096,
     n_valid=None,
+    grouped: bool = False,
 ):
     """Portable EXACT streaming top-k: lax.scan over gallery chunks.
 
     Never materializes the full [Q, N] score matrix; the carry holds the
-    running [Q, k] winners merged with lax.top_k per chunk.  ``n_valid``
-    (possibly traced) masks globally-padded rows for sharded callers.
+    running [Q, k] winners merged per chunk.  ``grouped=True`` switches the
+    per-chunk selection to the exact group-max pre-filter
+    (_grouped_exact_select) — asymptotically cheaper than the default full
+    sort and exactness-verified on CPU, but it triggered a TPU worker
+    runtime fault on the round-1 rig, so the stable sort remains the
+    default.  ``n_valid`` (possibly traced) masks globally-padded rows for
+    sharded callers.
     """
+    select = _grouped_exact_select if grouped else jax.lax.top_k
     return _scan_stream(
         queries, gallery, k, chunk, n_valid,
-        select_fn=jax.lax.top_k, compute_dtype=jnp.float32,
+        select_fn=select, compute_dtype=jnp.float32,
     )
 
 
