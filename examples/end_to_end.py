@@ -63,7 +63,7 @@ def main():
         num_classes=16,
     )
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    extract = lambda x: model.apply(variables, x, method="extract")
+    extract = lambda x, v=None: model.apply(variables, x, v, method="extract")
 
     ds = SyntheticRetrievalDataset(
         num_classes=10, samples_per_class=8, image_size=args.imsize, seed=5

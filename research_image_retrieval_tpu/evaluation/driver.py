@@ -71,10 +71,34 @@ def _load_model(cfg: EvalConfig, num_classes: int = 81313):
     return model, variables
 
 
+def _make_extract_fn(model, variables):
+    """Extraction fn + bucket mode for ``extract_vectors``.
+
+    Probes (via abstract evaluation, no compute) whether the model's
+    extract path accepts a ``valid_hw`` extent array; if so, bucketed
+    masked extraction is used (O(buckets) compiles on aspect-preserving
+    datasets), otherwise exact-shape grouping.
+    """
+    import jax.numpy as jnp
+
+    masked = lambda x, valid_hw: model.apply(
+        variables, x, valid_hw, method="extract"
+    )
+    try:
+        jax.eval_shape(
+            masked,
+            jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        )
+        return masked, 32
+    except Exception:
+        return (lambda x: model.apply(variables, x, method="extract")), None
+
+
 def evaluate(cfg: EvalConfig):
     """Evaluate on the configured Revisited datasets; returns result dict."""
     model, variables = _load_model(cfg)
-    extract = lambda x: model.apply(variables, x, method="extract")
+    extract, bucket = _make_extract_fn(model, variables)
 
     results = {}
     for dataset in cfg.datasets:
@@ -92,9 +116,9 @@ def evaluate(cfg: EvalConfig):
             bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
         )
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
-                               print_freq=100)
+                               print_freq=100, bucket=bucket)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
-                                print_freq=100)
+                                print_freq=100, bucket=bucket)
         if cfg.alpha_qe:
             qvecs = np.asarray(
                 alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
@@ -113,8 +137,9 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
         image_size=min(cfg.imsize, 128), seed=7,
     )
     imgs, labels = ds.as_arrays()
-    extract = lambda x: model.apply(variables, x, method="extract")
-    vecs = extract_vectors(extract, list(imgs), scales=cfg.multiscale)
+    extract, bucket = _make_extract_fn(model, variables)
+    vecs = extract_vectors(extract, list(imgs), scales=cfg.multiscale,
+                           bucket=bucket)
     q_idx = np.arange(0, len(ds), 8)
     qvecs = vecs[q_idx]
     if cfg.alpha_qe:

@@ -26,7 +26,18 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["ResNet", "convert_torch_resnet", "RESNET_STAGE_DEPTHS"]
+from research_image_retrieval_tpu.ops.masking import (
+    ceil_half,
+    downsample_extents,
+    hw_mask,
+)
+
+__all__ = [
+    "ResNet",
+    "convert_torch_resnet",
+    "RESNET_STAGE_DEPTHS",
+    "stage_extents",
+]
 
 # stage depths for the torchvision families
 RESNET_STAGE_DEPTHS = {
@@ -39,6 +50,33 @@ RESNET_STAGE_DEPTHS = {
 _BASIC = {"resnet18", "resnet34"}
 
 
+def stage_extents(
+    valid_hw: jnp.ndarray, stage: int, dilation_block5: bool = False
+) -> jnp.ndarray:
+    """Valid (h, w) extents of a ResNet stage tap from input-pixel extents.
+
+    Stage numbering follows the reference (networks/backbone.py:103-216):
+    2 = layer1 (stride 4), 3 = layer2 (stride 8), 4 = layer3 (stride 16),
+    5 = layer4 (stride 32, or 16 when dilated).  Sizes follow torch
+    padding semantics: every downsampling step is ceil-halving.
+    """
+    halvings = {2: 2, 3: 3, 4: 4, 5: 4 if dilation_block5 else 5}[stage]
+    return downsample_extents(jnp.asarray(valid_hw, jnp.int32), halvings)
+
+
+def _apply_mask(y: jnp.ndarray, extents: jnp.ndarray | None) -> jnp.ndarray:
+    """Zero the padded region so the next spatial op sees exact zero padding.
+
+    A conv's implicit zero padding at the true image boundary and an
+    explicitly zeroed pad region are numerically identical, so re-masking
+    before every k>1 conv / maxpool makes bucketed-padded extraction
+    bit-equal to exact-shape extraction on the valid cells.
+    """
+    if extents is None:
+        return y
+    return y * hw_mask(y.shape[1], y.shape[2], extents, dtype=y.dtype)[..., None]
+
+
 class BottleneckBlock(nn.Module):
     """torchvision-v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, projection skip."""
 
@@ -49,7 +87,13 @@ class BottleneckBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        bn_axis_name: str | None = None,
+        extents: jnp.ndarray | None = None,
+    ):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -70,6 +114,9 @@ class BottleneckBlock(nn.Module):
         )
         identity = x
         y = nn.relu(norm("bn1")(conv(self.width, 1, 1, 1, "conv1")(x)))
+        # the 1x1 conv1 + BN leaks bias into the pad region; re-zero before
+        # the only spatial conv so its boundary reads are exact zero padding
+        y = _apply_mask(y, extents)
         y = nn.relu(
             norm("bn2")(conv(self.width, 3, self.stride, self.dilation, "conv2")(y))
         )
@@ -91,7 +138,13 @@ class BasicBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False, bn_axis_name: str | None = None):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        bn_axis_name: str | None = None,
+        extents: jnp.ndarray | None = None,
+    ):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -111,7 +164,14 @@ class BasicBlock(nn.Module):
             name=name,
         )
         identity = x
+        x = _apply_mask(x, extents)
         y = nn.relu(norm("bn1")(conv(self.out_ch, 3, self.stride, self.dilation, "conv1")(x)))
+        out_extents = (
+            ceil_half(extents)
+            if extents is not None and self.stride == 2
+            else extents
+        )
+        y = _apply_mask(y, out_extents)
         y = norm("bn2")(conv(self.out_ch, 3, 1, self.dilation, "conv2")(y))
         if identity.shape[-1] != self.out_ch or self.stride != 1:
             identity = norm("downsample_bn")(
@@ -151,13 +211,29 @@ class ResNet(nn.Module):
         return 256 if self.name_ in _BASIC else 1024
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw: jnp.ndarray | None = None):
+        """Forward pass.
+
+        Args:
+          x: [B, H, W, 3] images (padded bottom/right with zeros when
+            ``valid_hw`` is given).
+          train: training mode (batch-stat BN, SyncBN axis).
+          valid_hw: optional [B, 2] int array of valid (height, width)
+            input-pixel extents for bucketed variable-resolution
+            extraction.  Requires ``train=False`` (BN batch statistics
+            over padded pixels would be wrong).  Use ``stage_extents`` to
+            derive the matching feature-map extents of each tap.
+        """
+        if valid_hw is not None and train:
+            raise ValueError("masked extraction requires train=False")
+        ext = None if valid_hw is None else jnp.asarray(valid_hw, jnp.int32)
         depths = RESNET_STAGE_DEPTHS[self.name_]
         basic = self.name_ in _BASIC
         block_cls: Callable = BasicBlock if basic else BottleneckBlock
         expansion = 1 if basic else 4
 
         # stem (block1): 7x7/2 conv + BN + relu + 3x3/2 maxpool
+        x = _apply_mask(x, ext)
         y = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
             use_bias=False, dtype=self.dtype, name="conv1",
@@ -171,7 +247,14 @@ class ResNet(nn.Module):
             name="bn1",
         )(y)
         y = nn.relu(y)
+        if ext is not None:
+            ext = ceil_half(ext)
+            # post-ReLU values are >= 0, so zeroed padding can't win the
+            # max — identical to torch/flax -inf padding on the valid cells
+            y = _apply_mask(y, ext)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if ext is not None:
+            ext = ceil_half(ext)
 
         taps = {}
         widths = (64, 128, 256, 512)
@@ -182,17 +265,20 @@ class ResNet(nn.Module):
             if stage == 5 and self.dilation_block5:
                 first_stride, dilation = 1, 2
             for j in range(depth):
+                stride = first_stride if j == 0 else 1
                 y = block_cls(
                     width=w,
                     out_ch=w * expansion,
-                    stride=first_stride if j == 0 else 1,
+                    stride=stride,
                     # reference dilation surgery leaves the first block's
                     # 3x3 undilated unless dilation_0 is given
                     # (helpfunc.py:181-189); match that default.
                     dilation=1 if (j == 0 and stage == 5 and self.dilation_block5) else dilation,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
-                )(y, train=train, bn_axis_name=self.bn_axis_name)
+                )(y, train=train, bn_axis_name=self.bn_axis_name, extents=ext)
+                if ext is not None and stride == 2:
+                    ext = ceil_half(ext)
             taps[stage] = y
 
         outs = {s: taps[s] for s in self.out_stages}

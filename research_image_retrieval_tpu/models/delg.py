@@ -16,11 +16,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
     cross_entropy,
     gem_pool,
+    hw_mask,
     l2_normalize,
 )
 
@@ -51,9 +52,13 @@ class DELGModel(nn.Module):
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
     def _branches(self, x, train: bool, valid_hw=None):
-        fmap = self.backbone(x, train=train)
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
         global_feat = self.global_proj(
-            gem_pool(fmap, p=self.p, valid_hw=valid_hw)
+            gem_pool(fmap, p=self.p, valid_hw=mask)
         )
         local_feat = self.local_conv(fmap)  # [B, H, W, local_dim]
         attention = jax.nn.sigmoid(self.attention_conv(fmap))  # [B, H, W, 1]

@@ -23,13 +23,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
     arcface_logits,
     avg_pool_all,
     cross_entropy,
     gem_pool,
+    hw_mask,
     l2_normalize,
 )
 
@@ -43,13 +44,18 @@ class ASPP(nn.Module):
     out_c: int = 1024
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         B, H, W, _ = x.shape
         # image-level pooling branch, broadcast back to HxW
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        # (masked mean over real pixels when extracting padded buckets)
+        pooled = avg_pool_all(x, valid_hw=mask)[:, None, None, :]
         pooled = nn.relu(nn.Conv(self.mid_c, (1, 1), name="im_pool_conv")(pooled))
         pooled = jnp.broadcast_to(pooled, (B, H, W, self.mid_c))
 
+        if mask is not None:
+            # re-zero the pad region so each dilated conv's boundary reads
+            # match the exact-shape run's zero padding
+            x = x * mask[..., None]
         branches = [pooled, nn.Conv(self.mid_c, (1, 1), name="aspp0")(x)]
         for i, d in enumerate((6, 12, 18)):
             branches.append(
@@ -70,9 +76,9 @@ class SpatialAttention2d(nn.Module):
     with_aspp: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         if self.with_aspp:
-            x = ASPP(name="aspp")(x)
+            x = ASPP(name="aspp")(x, mask=mask)
         x = nn.Conv(self.out_c, (1, 1), name="conv1")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
@@ -111,12 +117,18 @@ class DOLGModel(nn.Module):
             (self.num_classes, self.outputdim),
         )
 
-    def _descriptor(self, x, train: bool):
-        taps = self.backbone(x, train=train)
+    def _descriptor(self, x, train: bool, valid_hw=None):
+        taps = self.backbone(x, train=train, valid_hw=valid_hw)
         f4, f5 = taps[4], taps[5]
-        fl, _ = self.local_attn(f4, train=train)  # [B, H, W, 1024]
+        mask4 = mask5 = None
+        if valid_hw is not None:
+            e4 = stage_extents(valid_hw, 4)
+            e5 = stage_extents(valid_hw, 5)
+            mask4 = hw_mask(f4.shape[1], f4.shape[2], e4)
+            mask5 = hw_mask(f5.shape[1], f5.shape[2], e5)
+        fl, _ = self.local_attn(f4, train=train, mask=mask4)  # [B, H, W, 1024]
 
-        fg = self.fc_t(gem_pool(f5, p=3.0))  # [B, 1024]
+        fg = self.fc_t(gem_pool(f5, p=3.0, valid_hw=mask5))  # [B, 1024]
         fg_sq = jnp.sum(fg * fg, axis=-1, keepdims=True)  # ||fg||^2 [B,1]
 
         # projection of each local vector onto fg: (fl . fg) fg / ||fg||^2
@@ -126,7 +138,7 @@ class DOLGModel(nn.Module):
         proj = coef[..., None] * fg[:, None, None, :] / fg_sq[:, None, None, :]
         orth = fl - proj
 
-        fo = avg_pool_all(orth)  # [B, 1024]
+        fo = avg_pool_all(orth, valid_hw=mask4)  # [B, 1024]
         return self.fc(jnp.concatenate([fg, fo], axis=-1))
 
     def __call__(self, x, labels, train: bool = True):
@@ -137,12 +149,9 @@ class DOLGModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._descriptor(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._descriptor(x, train=False, valid_hw=valid_hw))
 
 
 register_model(

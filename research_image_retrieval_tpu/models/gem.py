@@ -21,12 +21,13 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
     arcface_logits,
     cross_entropy,
     gem_pool,
+    hw_mask,
     l2_normalize,
 )
 
@@ -68,9 +69,13 @@ class GeMModel(nn.Module):
         )
 
     def _descriptor(self, x, train: bool, valid_hw=None):
-        fmap = self.backbone(x, train=train)
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
         p = self.p_param if self.learnable_p else self.p
-        pooled = gem_pool(fmap, p=p, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5, self.dilation_block5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
+        pooled = gem_pool(fmap, p=p, valid_hw=mask)
         return self.whiten(pooled)
 
     def __call__(self, x, labels, train: bool = True):
@@ -82,7 +87,13 @@ class GeMModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        """Extraction forward: L2-normalized global descriptor."""
+        """Extraction forward: L2-normalized global descriptor.
+
+        valid_hw: optional [B, 2] int array of valid (height, width)
+        input-pixel extents for bucketed variable-resolution extraction
+        (images padded bottom/right with zeros); bucketed output equals
+        the exact-shape run on the valid region (tests/test_masked_extract.py).
+        """
         return l2_normalize(self._descriptor(x, train=False, valid_hw=valid_hw))
 
     def extract_fused(self, x, valid_hw=None):
@@ -98,12 +109,16 @@ class GeMModel(nn.Module):
             pallas_gem_whiten_l2,
         )
 
-        fmap = self.backbone(x, train=False)
+        fmap = self.backbone(x, train=False, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5, self.dilation_block5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
         p = float(self.p) if not self.learnable_p else self.p_param[0]
         kernel = self.whiten.variables["params"]["kernel"]
         bias = self.whiten.variables["params"]["bias"]
         return pallas_gem_whiten_l2(
-            fmap, kernel, bias, p=p, valid_hw=valid_hw
+            fmap, kernel, bias, p=p, valid_hw=mask
         )
 
 

@@ -73,7 +73,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
 
     @nn.compact
-    def __call__(self, q, k, v, deterministic: bool = True):
+    def __call__(self, q, k, v, deterministic: bool = True, key_mask=None):
         B, Nq, _ = q.shape
         Nk = k.shape[1]
         h = self.num_heads
@@ -88,6 +88,12 @@ class Attention(nn.Module):
         attn = jnp.einsum(
             "bhqd,bhkd->bhqk", qh, kh, preferred_element_type=jnp.float32
         ) * scale
+        if key_mask is not None:
+            # padded-bucket extraction: [B, Nk] mask removes pad tokens
+            # from every query's softmax (ops.masking.mask_attn_logits)
+            from research_image_retrieval_tpu.ops.masking import mask_attn_logits
+
+            attn = mask_attn_logits(attn, key_mask)
         attn = jax.nn.softmax(attn, axis=-1)
         attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
         out = jnp.einsum(
@@ -116,13 +122,15 @@ class Encoder(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True, train: bool = False):
+    def __call__(
+        self, x, deterministic: bool = True, train: bool = False, key_mask=None
+    ):
         dp = DropPath(self.drop_path)
         attn = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
             name="attn",
         )
-        x = x + dp(attn(x, x, x, deterministic), deterministic)
+        x = x + dp(attn(x, x, x, deterministic, key_mask=key_mask), deterministic)
         # BatchNorm1d over flattened (B*N, D) tokens == BN over (B, N) axes
         x_bn = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
@@ -142,7 +150,7 @@ class Decoder(nn.Module):
     drop_path: float = 0.0
 
     @nn.compact
-    def __call__(self, q, x, deterministic: bool = True):
+    def __call__(self, q, x, deterministic: bool = True, key_mask=None):
         dp = DropPath(self.drop_path)
         cross = Attention(
             self.dim, self.num_heads, self.qkv_bias, self.attn_drop, self.drop,
@@ -155,7 +163,8 @@ class Decoder(nn.Module):
         mlp = Mlp(2 * self.dim, self.dim, self.drop, name="mlp")
 
         q_bn = nn.LayerNorm(name="bn1")(q)
-        q = q + dp(cross(q_bn, x, x, deterministic), deterministic)
+        q = q + dp(cross(q_bn, x, x, deterministic, key_mask=key_mask),
+                   deterministic)
         q = q + dp(mlp(q, deterministic), deterministic)
         q_bn = nn.LayerNorm(name="bn2")(q)
         q = q + dp(self_attn(q_bn, q_bn, q_bn, deterministic), deterministic)

@@ -21,13 +21,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
     arcface_logits,
     cross_entropy,
     gem_pool,
+    hw_mask,
     l2_normalize,
+    mask_attn_logits,
 )
 
 __all__ = ["SOLARModel", "SOABlock"]
@@ -39,7 +41,7 @@ class SOABlock(nn.Module):
     k: int = 2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, token_mask=None):
         B, H, W, C = x.shape
         mid = C // self.k
         norm = lambda name: nn.BatchNorm(
@@ -55,6 +57,9 @@ class SOABlock(nn.Module):
         attn = jnp.einsum(
             "bnm,bkm->bnk", fx, gx, preferred_element_type=jnp.float32
         ) * (mid**-0.5)
+        if token_mask is not None:
+            # bucketed extraction: drop padded keys from every softmax row
+            attn = mask_attn_logits(attn, token_mask)
         attn = jax.nn.softmax(attn, axis=-1)
         z = jnp.einsum(
             "bnk,bkm->bnm", attn, hx, preferred_element_type=jnp.float32
@@ -95,9 +100,14 @@ class SOLARModel(nn.Module):
         )
 
     def _descriptor(self, x, train: bool, valid_hw=None):
-        fmap = self.backbone(x, train=train)
-        fmap = self.soa(fmap, train=train)
-        pooled = gem_pool(fmap, p=3.0, valid_hw=valid_hw)
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = tmask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
+            tmask = mask.reshape(mask.shape[0], -1)
+        fmap = self.soa(fmap, train=train, token_mask=tmask)
+        pooled = gem_pool(fmap, p=3.0, valid_hw=mask)
         # channel L2 before whitening (reference: RetrievalNet.py:587,596)
         return self.whiten(l2_normalize(pooled))
 

@@ -32,7 +32,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.layers import Attention, Mlp
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
@@ -41,6 +41,7 @@ from research_image_retrieval_tpu.ops import (
     cross_entropy,
     gem_pool,
     l2_normalize,
+    token_mask as make_token_mask,
 )
 
 __all__ = ["SpCaModel", "SpcaLayer", "distance_encoding_masks"]
@@ -79,6 +80,37 @@ def distance_encoding_masks(H: int, W: int, multi: int):
     return out
 
 
+def masked_distance_encoding_masks(H: int, W: int, multi: int, tmask):
+    """Per-image distance-transition powers restricted to valid tokens.
+
+    For bucketed variable-resolution extraction: pad rows AND columns of
+    the exp(-sqrt(d)) affinity are zeroed per image before the column
+    normalization and the matrix powers, so the valid sub-block equals the
+    exact-shape ``distance_encoding_masks`` of that image's true grid
+    (coordinates of valid tokens are identical because padding is
+    bottom/right).
+
+    Args:
+      tmask: [B, H*W] validity mask over row-major tokens.
+
+    Returns:
+      list of ``multi`` [B, HW, HW] matrices (A^2 .. A^(multi+1)).
+    """
+    d2 = jnp.asarray(_coord_distance(H, W))
+    e = jnp.exp(-jnp.sqrt(jnp.abs(d2)))  # [N, N]
+    tm = tmask.astype(jnp.float32)
+    e_b = e[None] * tm[:, :, None] * tm[:, None, :]  # [B, N, N]
+    col = jnp.sum(e_b, axis=1, keepdims=True)  # [B, 1, N] valid-row sums
+    A = jnp.where(col > 0.0, e_b / jnp.maximum(col, 1e-30), 0.0)
+    out = []
+    M = jnp.matmul(A, A, preferred_element_type=jnp.float32)
+    out.append(M)
+    for _ in range(multi - 1):
+        M = jnp.matmul(M, A, preferred_element_type=jnp.float32)
+        out.append(M)
+    return out
+
+
 class SpcaLayer(nn.Module):
     """GMM soft-assignment + spatial-context features
     (reference: networks/spca.py:97-180)."""
@@ -88,7 +120,7 @@ class SpcaLayer(nn.Module):
     multi: int = 1
 
     @nn.compact
-    def __call__(self, g_fea):
+    def __call__(self, g_fea, tmask=None):
         B, H, W, _ = g_fea.shape
         x = nn.Conv(self.local_dim, (1, 1), use_bias=False, name="proj_kv")(g_fea)
         x = x.reshape(B, H * W, self.local_dim)
@@ -116,14 +148,26 @@ class SpcaLayer(nn.Module):
         attn = jax.nn.softmax(attn_logits, axis=-1)  # [B, HW, K]
 
         attn_ = attn + 1e-8
+        if tmask is not None:
+            # drop padded tokens from the HW normalization and the
+            # distance-encoding contraction below
+            attn_ = attn_ * tmask[:, :, None]
         attn_ = attn_ / jnp.sum(attn_, axis=-2, keepdims=True)  # L1 over HW
 
-        masks = distance_encoding_masks(H, W, self.multi)
-        parts = [
-            jnp.einsum("bnk,nm->bkm", attn_, m,
-                       preferred_element_type=jnp.float32)
-            for m in masks
-        ]
+        if tmask is None:
+            masks = distance_encoding_masks(H, W, self.multi)
+            parts = [
+                jnp.einsum("bnk,nm->bkm", attn_, m,
+                           preferred_element_type=jnp.float32)
+                for m in masks
+            ]
+        else:
+            masks = masked_distance_encoding_masks(H, W, self.multi, tmask)
+            parts = [
+                jnp.einsum("bnk,bnm->bkm", attn_, m,
+                           preferred_element_type=jnp.float32)
+                for m in masks
+            ]
         outp = jnp.concatenate(parts, axis=1)  # [B, K*multi, HW]
         outp = nn.LayerNorm(epsilon=1e-5, name="p_norm")(
             outp.transpose(0, 2, 1)
@@ -140,14 +184,14 @@ class CrossAttnFuser(nn.Module):
     inputdim: int
 
     @nn.compact
-    def __call__(self, q_map, x_map, deterministic: bool = True):
+    def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
         q = q_map.reshape(B, H * W, C)
         x = x_map.reshape(B, H * W, x_map.shape[-1])
         q_ln = nn.LayerNorm(name="ln")(q)
         x = nn.Dense(self.dim, name="proj")(x)
         q = q + Attention(self.dim, 8, qkv_bias=True, name="cross_attn")(
-            q_ln, x, x, deterministic
+            q_ln, x, x, deterministic, key_mask=tmask
         )
         q = q + Mlp(2 * self.dim, self.dim, name="mlp")(q, deterministic)
         return q.reshape(B, H, W, C)
@@ -160,7 +204,7 @@ class ConcatFuser(nn.Module):
     inputdim: int
 
     @nn.compact
-    def __call__(self, q_map, x_map, deterministic: bool = True):
+    def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
         q = nn.LayerNorm(name="bn1")(q_map.reshape(B, H * W, C))
         x = nn.Dense(self.dim, name="proj")(
@@ -169,7 +213,7 @@ class ConcatFuser(nn.Module):
         x = nn.LayerNorm(name="bn2")(x)
         qx = jnp.concatenate([q, x], axis=2)
         qx = qx + Mlp(4 * self.dim, 2 * self.dim, name="mlp")(qx, deterministic)
-        return qx.reshape(B, H, W, 2 * C)
+        return qx.reshape(B, H, W, 2 * C)  # per-token ops: no mask needed
 
 
 class HadamardFuser(nn.Module):
@@ -179,7 +223,7 @@ class HadamardFuser(nn.Module):
     inputdim: int
 
     @nn.compact
-    def __call__(self, q_map, x_map, deterministic: bool = True):
+    def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
         q = nn.Dense(self.dim // 4, name="proj")(q_map.reshape(B, H * W, C))
         q = nn.LayerNorm(name="bn1")(q)
@@ -189,7 +233,7 @@ class HadamardFuser(nn.Module):
         out = jnp.einsum("bnc,bnd->bncd", q, x,
                          preferred_element_type=jnp.float32)
         out = out.reshape(B, H * W, -1)
-        return out.reshape(B, H, W, out.shape[-1])
+        return out.reshape(B, H, W, out.shape[-1])  # per-token: no mask needed
 
 
 class OrthogonalFuser(nn.Module):
@@ -199,15 +243,21 @@ class OrthogonalFuser(nn.Module):
     inputdim: int
 
     @nn.compact
-    def __call__(self, g_map, l_map, deterministic: bool = True):
+    def __call__(self, g_map, l_map, deterministic: bool = True, tmask=None):
         half = self.dim // 2
-        fg = nn.Dense(half, name="fc_t")(gem_pool(g_map, p=3.0))  # [B, dim/2]
+        mask = (
+            None if tmask is None
+            else tmask.reshape(g_map.shape[0], g_map.shape[1], g_map.shape[2])
+        )
+        fg = nn.Dense(half, name="fc_t")(
+            gem_pool(g_map, p=3.0, valid_hw=mask)
+        )  # [B, dim/2]
         fl = nn.Conv(half, (1, 1), name="fc")(l_map)  # [B, H, W, dim/2]
         fg_sq = jnp.sum(fg * fg, axis=-1, keepdims=True)
         coef = jnp.einsum("bhwc,bc->bhw", fl, fg,
                           preferred_element_type=jnp.float32)
         proj = coef[..., None] * fg[:, None, None, :] / fg_sq[:, None, None, :]
-        fo = avg_pool_all(fl - proj)
+        fo = avg_pool_all(fl - proj, valid_hw=mask)
         return jnp.concatenate([fg, fo], axis=-1)  # [B, dim]
 
 
@@ -218,7 +268,7 @@ class DecoderFuser(nn.Module):
     inputdim: int
 
     @nn.compact
-    def __call__(self, q_map, x_map, deterministic: bool = True):
+    def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
         q = q_map.reshape(B, H * W, C)
         x = nn.Dense(self.dim, name="proj_fc")(
@@ -229,10 +279,10 @@ class DecoderFuser(nn.Module):
         self_a = Attention(self.dim, 8, qkv_bias=True, name="self_attn")
         mlp = Mlp(2 * self.dim, self.dim, name="mlp")
         q_bn = nn.LayerNorm(name="bn1")(q)
-        q = q + cross(q_bn, x, x, deterministic)
+        q = q + cross(q_bn, x, x, deterministic, key_mask=tmask)
         q = q + mlp(q, deterministic)
         q_bn = nn.LayerNorm(name="bn2")(q)
-        q = q + self_a(q_bn, q_bn, q_bn, deterministic)
+        q = q + self_a(q_bn, q_bn, q_bn, deterministic, key_mask=tmask)
         return q.reshape(B, H, W, C)
 
 
@@ -286,13 +336,21 @@ class SpCaModel(nn.Module):
             (self.num_classes, self.outputdim),
         )
 
-    def _descriptor(self, x, train: bool):
-        g_fea = self.backbone(x, train=train)
-        p_fea, _attn = self.pos_branch(g_fea)
-        fused = self.fuser(g_fea, p_fea, deterministic=not train)
+    def _descriptor(self, x, train: bool, valid_hw=None):
+        g_fea = self.backbone(x, train=train, valid_hw=valid_hw)
+        tmask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            tmask = make_token_mask(g_fea.shape[1], g_fea.shape[2], ext)
+        p_fea, _attn = self.pos_branch(g_fea, tmask=tmask)
+        fused = self.fuser(g_fea, p_fea, deterministic=not train, tmask=tmask)
         if self.combine.startswith("orth"):
             return self.whiten(fused)  # fuser already pooled to a vector
-        return self.whiten(gem_pool(fused, p=3.0))
+        mask = (
+            None if tmask is None
+            else tmask.reshape(fused.shape[0], fused.shape[1], fused.shape[2])
+        )
+        return self.whiten(gem_pool(fused, p=3.0, valid_hw=mask))
 
     def __call__(self, x, labels, train: bool = True):
         feat = self._descriptor(x, train)
@@ -302,12 +360,9 @@ class SpCaModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._descriptor(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._descriptor(x, train=False, valid_hw=valid_hw))
 
 
 register_model(

@@ -20,7 +20,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.layers import Decoder, Encoder
 from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.ops import (
@@ -28,6 +28,7 @@ from research_image_retrieval_tpu.ops import (
     arcface_logits,
     cross_entropy,
     l2_normalize,
+    token_mask as make_token_mask,
 )
 
 __all__ = ["TokenModel", "TokenRefine"]
@@ -48,7 +49,7 @@ class TokenRefine(nn.Module):
     out_dim: int = 1024
 
     @nn.compact
-    def __call__(self, fmap, train: bool = False):
+    def __call__(self, fmap, train: bool = False, token_mask=None):
         B, H, W, _ = fmap.shape
         det = not train
         x = nn.Conv(self.mid_dim, (1, 1), use_bias=True, name="conv")(fmap)
@@ -62,7 +63,7 @@ class TokenRefine(nn.Module):
             x = Encoder(
                 self.mid_dim, self.num_heads, self.qkv_bias, self.drop,
                 self.attn_drop, self.drop_path, name=f"encoder{i}",
-            )(x, deterministic=det, train=train)
+            )(x, deterministic=det, train=train, key_mask=token_mask)
 
         query = self.param(
             "query",
@@ -76,6 +77,11 @@ class TokenRefine(nn.Module):
             "bod,bnd->bon", q, x, preferred_element_type=jnp.float32
         )
         attns = nn.softmax(attns, axis=1)
+        if token_mask is not None:
+            # the token sum below runs over ALL HW positions; zero the
+            # padded tokens' contributions (softmax here is per-token over
+            # the object axis, so masking after softmax is exact)
+            attns = attns * token_mask[:, None, :]
         token = jnp.einsum(
             "bon,bnd->bod", attns, x, preferred_element_type=jnp.float32
         )
@@ -86,7 +92,7 @@ class TokenRefine(nn.Module):
             token = Decoder(
                 self.mid_dim, self.num_heads, self.qkv_bias, self.drop,
                 self.attn_drop, self.drop_path, name=f"decoder{i}",
-            )(token, x, deterministic=det)
+            )(token, x, deterministic=det, key_mask=token_mask)
 
         token = nn.Dense(self.out_dim, name="proj")(
             token.reshape(B, self.num_object * self.mid_dim)
@@ -157,13 +163,14 @@ class TokenModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        fmap = self.backbone(x, train=False, valid_hw=valid_hw)
+        tmask = None
         if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        fmap = self.backbone(x, train=False)
-        return l2_normalize(self.tr(fmap, train=False))
+            ext = stage_extents(valid_hw, 5)
+            tmask = make_token_mask(fmap.shape[1], fmap.shape[2], ext)
+        return l2_normalize(self.tr(fmap, train=False, token_mask=tmask))
 
 
 register_model(

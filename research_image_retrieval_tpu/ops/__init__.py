@@ -11,6 +11,13 @@ from research_image_retrieval_tpu.ops.pooling import (
     max_pool_all,
 )
 from research_image_retrieval_tpu.ops.norm import l2_normalize
+from research_image_retrieval_tpu.ops.masking import (
+    ceil_half,
+    downsample_extents,
+    hw_mask,
+    token_mask,
+    mask_attn_logits,
+)
 from research_image_retrieval_tpu.ops.whiten import (
     pca_whiten_learn,
     apply_whitening,
@@ -39,6 +46,11 @@ __all__ = [
     "avg_pool_all",
     "max_pool_all",
     "l2_normalize",
+    "ceil_half",
+    "downsample_extents",
+    "hw_mask",
+    "token_mask",
+    "mask_attn_logits",
     "pca_whiten_learn",
     "apply_whitening",
     "arcface_logits",

@@ -1,0 +1,58 @@
+"""Bucketed extract_vectors: host resize fidelity + multi-scale equality.
+
+Contracts under test:
+* ``resize_bilinear_np`` (host matmul resize) matches
+  ``jax.image.resize(method="bilinear")`` — so the host-side multi-scale
+  path agrees with the on-device scale loop of ``multiscale_descriptor``.
+* multi-scale bucketed extraction == exact-shape device multi-scale
+  (reference sum / kept-scales / re-normalize contract,
+  utils/helpfunc.py:30-46).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from research_image_retrieval_tpu.index import extract_vectors, multiscale_descriptor
+from research_image_retrieval_tpu.index.extract import resize_bilinear_np
+from research_image_retrieval_tpu.models import get_model
+
+
+def test_np_resize_matches_jax():
+    rng = np.random.default_rng(0)
+    for (h, w), (nh, nw) in [
+        ((57, 43), (40, 30)),   # downscale (antialiased)
+        ((33, 21), (64, 48)),   # upscale
+        ((48, 48), (34, 67)),   # mixed
+    ]:
+        img = rng.standard_normal((h, w, 3)).astype(np.float32)
+        want = np.asarray(
+            jax.image.resize(jnp.asarray(img), (nh, nw, 3), method="bilinear")
+        )
+        got = resize_bilinear_np(img, nh, nw)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_multiscale_bucketed_equals_exact():
+    model = get_model(
+        "gem_r50", backbone_name="resnet18", outputdim=32, num_classes=8
+    )
+    init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), init, labels=jnp.zeros((1,), jnp.int32),
+        train=False,
+    )
+    extract = lambda x: model.apply(variables, x, method="extract")
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+
+    rng = np.random.default_rng(1)
+    sizes = [(72, 56), (56, 72), (80, 80)]
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32) for h, w in sizes]
+    scales = (1.0, 2**-0.5)
+
+    got = extract_vectors(masked, imgs, scales=scales, bucket=32, batch_size=2)
+    for i, img in enumerate(imgs):
+        want = np.asarray(
+            multiscale_descriptor(extract, jnp.asarray(img)[None], scales)
+        )[0]
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=2e-5)

@@ -91,20 +91,33 @@ class TestExtraction:
     def test_variable_resolution_order(self, gem_small, rng):
         model, variables = gem_small
         extract = lambda x: model.apply(variables, x, method="extract")
+        masked = lambda x, v: model.apply(variables, x, v, method="extract")
         sizes = [(40, 40), (52, 44), (40, 40), (64, 64), (52, 44)]
         imgs = [rng.standard_normal((h, w, 3)).astype(np.float32) for h, w in sizes]
-        vecs = extract_vectors(extract, imgs)
+        vecs = extract_vectors(masked, imgs)  # default: masked buckets
         assert vecs.shape == (5, 64)
-        # per-image extraction must match the bucketed result, in order
+        # per-image exact-shape extraction must match the padded-bucket
+        # result, in input order
+        for i, img in enumerate(imgs):
+            solo = np.asarray(extract(jnp.asarray(img)[None]))[0]
+            np.testing.assert_allclose(vecs[i], solo, rtol=2e-4, atol=1e-5)
+
+    def test_exact_shape_fallback(self, gem_small, rng):
+        """bucket=None groups by exact shape and needs no valid_hw arg."""
+        model, variables = gem_small
+        extract = lambda x: model.apply(variables, x, method="extract")
+        sizes = [(40, 40), (52, 44), (40, 40)]
+        imgs = [rng.standard_normal((h, w, 3)).astype(np.float32) for h, w in sizes]
+        vecs = extract_vectors(extract, imgs, bucket=None)
         for i, img in enumerate(imgs):
             solo = np.asarray(extract(jnp.asarray(img)[None]))[0]
             np.testing.assert_allclose(vecs[i], solo, rtol=2e-4, atol=1e-5)
 
     def test_small_image_upscale_guard(self, gem_small, rng):
         model, variables = gem_small
-        extract = lambda x: model.apply(variables, x, method="extract")
+        masked = lambda x, v: model.apply(variables, x, v, method="extract")
         tiny = [rng.standard_normal((20, 30, 3)).astype(np.float32)]
-        vecs = extract_vectors(extract, tiny)
+        vecs = extract_vectors(masked, tiny)
         assert np.all(np.isfinite(vecs))
 
     def test_multiscale_sum_normalize(self, gem_small, rng):
@@ -137,7 +150,7 @@ class TestEndToEnd:
             num_classes=8, samples_per_class=6, image_size=48, seed=3
         )
         imgs, labels = ds.as_arrays()
-        extract = lambda x: model.apply(variables, x, method="extract")
+        extract = lambda x, v=None: model.apply(variables, x, v, method="extract")
         vecs = extract_vectors(extract, list(imgs))
 
         q_idx = np.arange(0, len(ds), 6)  # one query per class

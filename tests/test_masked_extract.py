@@ -1,0 +1,111 @@
+"""Bucketed-padded extraction == exact-shape extraction, per flagship.
+
+The reference extracts each image at its exact resolution, batch-1
+(reference: utils/helpfunc.py:19-48).  The TPU redesign batches images into
+padded resolution buckets with a [B, 2] valid-extent array; these tests
+assert the masked model paths make the padding numerically invisible: the
+descriptor of a padded image equals its exact-shape descriptor to <=2e-5.
+
+BN biases and running means are randomized after init so that zero padding
+actually leaks through unmasked paths (freshly initialized BN maps 0 -> 0,
+which would make every mask a silent no-op and the test vacuous).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from research_image_retrieval_tpu.models import get_model
+
+# (registry name, overrides) — small dims for CPU speed; resnet50 in the
+# first case covers BottleneckBlock masking, resnet18 covers BasicBlock.
+CASES = [
+    ("gem_r50", dict(outputdim=64, num_classes=8)),
+    ("gem_r50_dil", dict(outputdim=64, num_classes=8, dilation_block5=True)),
+    ("delg_r50", dict(backbone_name="resnet18", outputdim=32, local_dim=16,
+                      num_classes=8)),
+    ("solar_r101", dict(backbone_name="resnet18", outputdim=64, num_classes=8)),
+    ("token_r101", dict(backbone_name="resnet18", outputdim=64, num_classes=8)),
+    ("dolg_r101", dict(backbone_name="resnet18", outputdim=32, num_classes=8,
+                       with_aspp=True)),
+    ("spca_cro", dict(backbone_name="resnet18", outputdim=32, K=4,
+                      local_dim=16, multi=2, combine="cro", mediumdim=512,
+                      num_classes=8)),
+    ("spca_orth", dict(backbone_name="resnet18", outputdim=32, K=4,
+                       local_dim=16, multi=1, combine="orth", mediumdim=512,
+                       num_classes=8)),
+    ("spca_dec", dict(backbone_name="resnet18", outputdim=32, K=4,
+                      local_dim=16, multi=1, combine="dec", mediumdim=512,
+                      num_classes=8)),
+]
+
+_SIZES = [(40, 56), (64, 48)]
+_PAD = (64, 64)
+
+
+def _registry_name(case_name: str) -> str:
+    return {
+        "gem_r50_dil": "gem_r50",
+        "spca_cro": "spca_r101",
+        "spca_orth": "spca_r101",
+        "spca_dec": "spca_r101",
+    }.get(case_name, case_name)
+
+
+def _randomize(variables):
+    """Randomize BN biases / running means (and keep variances positive)."""
+    rng = np.random.default_rng(7)
+
+    def fn(path, x):
+        key = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if key in ("bias", "mean"):
+            return jnp.asarray(
+                rng.normal(0.0, 0.5, x.shape).astype(np.float32)
+            )
+        if key == "var":
+            return jnp.asarray(
+                rng.uniform(0.5, 1.5, x.shape).astype(np.float32)
+            )
+        return x
+
+    return jax.tree_util.tree_map_with_path(fn, variables)
+
+
+@pytest.mark.parametrize("case_name,overrides", CASES,
+                         ids=[c[0] for c in CASES])
+def test_masked_bucket_equals_exact(case_name, overrides):
+    model = get_model(_registry_name(case_name), **overrides)
+    init_img = jnp.zeros((1, *_PAD, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), init_img, labels=jnp.zeros((1,), jnp.int32),
+        train=False,
+    )
+    variables = _randomize(variables)
+
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.standard_normal((h, w, 3)).astype(np.float32) for h, w in _SIZES
+    ]
+
+    exact = [
+        np.asarray(
+            model.apply(variables, jnp.asarray(img[None]), method="extract")
+        )[0]
+        for img in imgs
+    ]
+
+    padded = np.zeros((len(imgs), *_PAD, 3), np.float32)
+    for i, img in enumerate(imgs):
+        padded[i, : img.shape[0], : img.shape[1]] = img
+    valid_hw = jnp.asarray(_SIZES, jnp.int32)
+    masked = np.asarray(
+        model.apply(
+            variables, jnp.asarray(padded), valid_hw, method="extract"
+        )
+    )
+
+    for i in range(len(imgs)):
+        diff = float(np.abs(masked[i] - exact[i]).max())
+        assert diff <= 2e-5, f"{case_name} image {i}: max diff {diff}"
+        assert np.all(np.isfinite(masked[i]))
