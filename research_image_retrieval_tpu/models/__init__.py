@@ -39,6 +39,11 @@ from research_image_retrieval_tpu.models.adaptive_hybrid import (  # noqa: E402
     QAFF,
 )
 from research_image_retrieval_tpu.models.vit import ViTGlobalModel  # noqa: E402
+from research_image_retrieval_tpu.models.clip import CLIPGlobalModel  # noqa: E402
+from research_image_retrieval_tpu.models.clip_convert import (  # noqa: E402
+    build_clip_from_torch,
+    convert_torch_clip,
+)
 from research_image_retrieval_tpu.models.iris import IRISModel  # noqa: E402
 from research_image_retrieval_tpu.models.sparse import SparseRetrievalModel  # noqa: E402
 from research_image_retrieval_tpu.models.hamlet import HAMLETModel  # noqa: E402

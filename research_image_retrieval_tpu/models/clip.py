@@ -20,10 +20,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from research_image_retrieval_tpu.models.clip_resnet import (
+    CLIP_RESNET_CONFIGS,
+    ModifiedResNet,
+)
+from research_image_retrieval_tpu.models.registry import register_model
 from research_image_retrieval_tpu.models.vit import VIT_CONFIGS, VisionTransformer
 from research_image_retrieval_tpu.ops import l2_normalize
 
-__all__ = ["CLIP", "CLIPTextEncoder", "clip_contrastive_loss"]
+__all__ = [
+    "CLIP",
+    "CLIPTextEncoder",
+    "CLIPGlobalModel",
+    "clip_contrastive_loss",
+]
 
 
 class CLIPTextBlock(nn.Module):
@@ -32,12 +42,12 @@ class CLIPTextBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, deterministic=True, name="attn"
         )(h, h, mask=mask)
         x = x + h
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(4 * self.dim, name="mlp_fc1")(h)
         h = h * jax.nn.sigmoid(1.702 * h)  # quick-GELU
         h = nn.Dense(self.dim, name="mlp_fc2")(h)
@@ -67,7 +77,7 @@ class CLIPTextEncoder(nn.Module):
         causal = nn.make_causal_mask(token_ids)
         for i in range(self.depth):
             x = CLIPTextBlock(self.dim, self.heads, name=f"block{i}")(x, causal)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         # feature at the EOT token = highest token id position (CLIP rule)
         eot = jnp.argmax(token_ids, axis=1)
         feat = x[jnp.arange(B), eot]
@@ -89,7 +99,14 @@ def clip_contrastive_loss(image_features, text_features, logit_scale):
 
 
 class CLIP(nn.Module):
-    """Dual-tower CLIP; ``image_features`` doubles as a retrieval descriptor."""
+    """Dual-tower CLIP; ``image_features`` doubles as a retrieval descriptor.
+
+    ``visual_variant`` selects the tower: a ``VIT_CONFIGS`` key ("b32",
+    "b16", "l14", ...) builds the quick-GELU VisionTransformer
+    (reference: networks/model.py:206-243); a ``CLIP_RESNET_CONFIGS`` key
+    ("r50", "r101") builds the attention-pooled ModifiedResNet
+    (reference: networks/model.py:94-154).
+    """
 
     visual_variant: str = "b32"
     embed_dim: int = 512
@@ -101,13 +118,22 @@ class CLIP(nn.Module):
     img_size: int = 224
 
     def setup(self):
-        cfg = VIT_CONFIGS[self.visual_variant]
-        self.visual = VisionTransformer(
-            img_size=self.img_size, quick_gelu=True, **cfg
-        )
-        self.visual_proj = nn.Dense(
-            self.embed_dim, use_bias=False, name="visual_projection"
-        )
+        if self.visual_variant in CLIP_RESNET_CONFIGS:
+            cfg = CLIP_RESNET_CONFIGS[self.visual_variant]
+            self.visual = ModifiedResNet(
+                output_dim=self.embed_dim,
+                input_resolution=self.img_size,
+                **cfg,
+            )
+            self.visual_proj = None  # the attnpool c_proj already projects
+        else:
+            cfg = VIT_CONFIGS[self.visual_variant]
+            self.visual = VisionTransformer(
+                img_size=self.img_size, quick_gelu=True, **cfg
+            )
+            self.visual_proj = nn.Dense(
+                self.embed_dim, use_bias=False, name="visual_projection"
+            )
         self.text = CLIPTextEncoder(
             vocab_size=self.vocab_size, context_length=self.context_length,
             dim=self.text_dim, depth=self.text_depth, heads=self.text_heads,
@@ -118,6 +144,8 @@ class CLIP(nn.Module):
         )
 
     def image_features(self, images):
+        if self.visual_proj is None:
+            return self.visual(images, train=False)
         cls, _ = self.visual(images, train=False)
         return self.visual_proj(cls)
 
@@ -139,3 +167,81 @@ class CLIP(nn.Module):
                 "model; batch images of one resolution instead"
             )
         return l2_normalize(self.image_features(images))
+
+
+class CLIPGlobalModel(nn.Module):
+    """CLIP visual tower + ArcFace head as a registry retrieval model.
+
+    The param tree of the tower matches ``CLIP`` ("visual" /
+    "visual_projection"), so ``clip_convert.load_clip_visual_into`` drops a
+    real OpenAI-layout checkpoint's visual weights straight in — the CLIP
+    counterpart of ``backbone.convert_torch_resnet`` (reference pretrained
+    source: networks/model.py:292-345).
+    """
+
+    variant: str = "b32"  # VIT_CONFIGS key or CLIP_RESNET_CONFIGS key
+    outputdim: int = 512  # CLIP embed dim (tower output) = descriptor dim
+    num_classes: int = 81313
+    s: float = 32.0
+    m: float = 0.15
+    img_size: int = 224
+
+    def setup(self):
+        if self.variant in CLIP_RESNET_CONFIGS:
+            self.visual = ModifiedResNet(
+                output_dim=self.outputdim,
+                input_resolution=self.img_size,
+                **CLIP_RESNET_CONFIGS[self.variant],
+            )
+            self.visual_proj = None
+        else:
+            self.visual = VisionTransformer(
+                img_size=self.img_size, quick_gelu=True,
+                **VIT_CONFIGS[self.variant],
+            )
+            self.visual_proj = nn.Dense(
+                self.outputdim, use_bias=False, name="visual_projection"
+            )
+        self.classifier_w = self.param(
+            "classifier_w",
+            nn.initializers.xavier_uniform(),
+            (self.num_classes, self.outputdim),
+        )
+
+    def _descriptor(self, x, train: bool):
+        if self.visual_proj is None:
+            return self.visual(x, train=train)
+        cls, _ = self.visual(x, train=train)
+        return self.visual_proj(cls)
+
+    def __call__(self, x, labels, train: bool = True):
+        from research_image_retrieval_tpu.ops import arcface_logits, cross_entropy
+
+        feat = self._descriptor(x, train)
+        logits = arcface_logits(
+            feat, self.classifier_w, labels, s=self.s, m=self.m
+        )
+        return cross_entropy(logits, labels), logits
+
+    def extract(self, x, valid_hw=None):
+        if valid_hw is not None:
+            raise NotImplementedError(
+                "masked-bucket extraction is not supported by this "
+                "model; batch images of one resolution instead"
+            )
+        return l2_normalize(self._descriptor(x, train=False))
+
+
+register_model(
+    "clip_vit_b32",
+    description="CLIP ViT-B/32 visual tower + ArcFace; loads OpenAI-layout checkpoints via clip_convert (reference networks/model.py:206-243)",
+    defaults=dict(variant="b32", outputdim=512),
+    family="clip_vit",
+)(CLIPGlobalModel)
+
+register_model(
+    "clip_r50",
+    description="CLIP ModifiedResNet-50 (attention-pooled) + ArcFace; loads OpenAI-layout checkpoints via clip_convert (reference networks/model.py:94-154)",
+    defaults=dict(variant="r50", outputdim=1024),
+    family="clip_rn",
+)(CLIPGlobalModel)

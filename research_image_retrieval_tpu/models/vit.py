@@ -48,13 +48,13 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim,
             deterministic=deterministic, name="attn",
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(name="ln2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
         if self.quick_gelu:
             h = h * jax.nn.sigmoid(1.702 * h)
@@ -115,13 +115,13 @@ class VisionTransformer(nn.Module):
             ))
         y = jnp.concatenate(tokens, axis=1)
 
-        y = nn.LayerNorm(name="ln_pre")(y) if self.quick_gelu else y  # CLIP
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(y) if self.quick_gelu else y  # CLIP
         for i in range(self.depth):
             y = ViTBlock(
                 self.dim, self.heads, quick_gelu=self.quick_gelu,
                 name=f"block{i}",
             )(y, deterministic=not train)
-        y = nn.LayerNorm(name="ln_post")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln_post")(y)
         return y[:, 0], y[:, 1 : 1 + gh * gw]
 
 
@@ -193,9 +193,5 @@ register_model(
     family="vit",
 )(ViTGlobalModel)
 
-register_model(
-    "clip_vit_b32",
-    description="CLIP-style ViT-B/32 visual tower (quick-GELU, pre-LN) as retrieval backbone (reference networks/model.py:206)",
-    defaults=dict(variant="b32", outputdim=512, quick_gelu=True),
-    family="clip_vit",
-)(ViTGlobalModel)
+# NOTE: clip_vit_b32 / clip_r50 are registered in models/clip.py
+# (CLIPGlobalModel) — real CLIP towers loadable from OpenAI checkpoints.

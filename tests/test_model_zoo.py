@@ -38,6 +38,7 @@ PER_MODEL_SMALL = {
     "adaptive_hybrid": dict(outputdim=32),
     "vit": dict(backbone_name=None, variant="test", outputdim=32, img_size=64),
     "clip_vit": dict(backbone_name=None, variant="test", outputdim=32, img_size=64),
+    "clip_rn": dict(backbone_name=None, variant="rtest", outputdim=24, img_size=64),
     "iris": dict(outputdim=32),
     "sparse": dict(outputdim=32),
     "hamlet": dict(outputdim=32, hidden=16),
