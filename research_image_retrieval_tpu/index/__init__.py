@@ -4,6 +4,7 @@ and gallery serving."""
 from research_image_retrieval_tpu.index.extract import (
     extract_vectors,
     multiscale_descriptor,
+    resize_bilinear_np,
 )
 from research_image_retrieval_tpu.index.search import (
     cosine_similarity,
@@ -17,16 +18,21 @@ from research_image_retrieval_tpu.index.qe import (
 from research_image_retrieval_tpu.index.gallery import HybridGallery
 from research_image_retrieval_tpu.index.rerank import (
     rerank_shortlist,
+    rerank_shortlist_batched,
+    make_cvnet_batch_scorer,
     geometric_verification_score,
     mutual_nn_matches,
 )
 
 __all__ = [
     "rerank_shortlist",
+    "rerank_shortlist_batched",
+    "make_cvnet_batch_scorer",
     "geometric_verification_score",
     "mutual_nn_matches",
     "extract_vectors",
     "multiscale_descriptor",
+    "resize_bilinear_np",
     "cosine_similarity",
     "search_topk",
     "rank_full",

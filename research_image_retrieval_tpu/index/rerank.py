@@ -19,7 +19,13 @@ from typing import Callable
 
 import numpy as np
 
-__all__ = ["rerank_shortlist", "mutual_nn_matches", "geometric_verification_score"]
+__all__ = [
+    "rerank_shortlist",
+    "rerank_shortlist_batched",
+    "make_cvnet_batch_scorer",
+    "mutual_nn_matches",
+    "geometric_verification_score",
+]
 
 
 def rerank_shortlist(
@@ -51,6 +57,91 @@ def rerank_shortlist(
         out_scores[qi] = combined[order]
         out_idx[qi] = indices[qi][order]
     return out_scores, out_idx
+
+
+def rerank_shortlist_batched(
+    scores: np.ndarray,
+    indices: np.ndarray,
+    batch_scorer: Callable[[np.ndarray, np.ndarray], np.ndarray],
+    blend: float = 0.5,
+):
+    """Re-score a top-k shortlist with one vectorized scorer call.
+
+    The TPU-fit replacement for ``rerank_shortlist``'s per-pair Python
+    loop: all Q*k (query, gallery) pairs go through ``batch_scorer`` in one
+    call (the scorer jits/chunks internally — see
+    ``make_cvnet_batch_scorer``), so a top-100 rerank of 70 queries is a
+    handful of fixed-shape device programs instead of 7000 forwards.
+
+    Args:
+      scores: [Q, k] first-stage scores (descending).
+      indices: [Q, k] gallery indices.
+      batch_scorer: (query_idx [P], gallery_idx [P]) -> [P] scores.
+      blend: weight of the first-stage score (1.0 = no change).
+
+    Returns:
+      (new_scores [Q, k], new_indices [Q, k]) reordered descending.
+    """
+    scores = np.asarray(scores)
+    indices = np.asarray(indices)
+    Q, k = scores.shape
+    qids = np.repeat(np.arange(Q), k)
+    ver = np.asarray(batch_scorer(qids, indices.reshape(-1))).reshape(Q, k)
+    combined = blend * scores + (1.0 - blend) * ver
+    order = np.argsort(-combined, axis=1, kind="stable")
+    return (
+        np.take_along_axis(combined, order, axis=1),
+        np.take_along_axis(indices, order, axis=1),
+    )
+
+
+def make_cvnet_batch_scorer(model, variables, q_fmaps, g_fmaps, chunk: int = 16):
+    """Batched CVNet pair scorer over cached feature maps.
+
+    The reference's cached-feature rerank scores one pair per forward
+    (reference: CVNet_Rerank_model.py:64-74); here pairs are gathered into
+    fixed-size chunks and scored through ONE jitted
+    ``score_from_featuremaps`` program (tail chunks padded, outputs
+    dropped).
+
+    Args:
+      model: CVNetRerank module.
+      variables: its variables.
+      q_fmaps: [Q, H, W, C] cached query feature maps (numpy).
+      g_fmaps: [N, H', W', C] cached gallery feature maps (numpy).
+      chunk: pairs per device batch (one compile for all chunks).
+
+    Returns:
+      batch_scorer(qids [P], gids [P]) -> [P] match scores, for
+      ``rerank_shortlist_batched``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = jax.jit(
+        lambda qf, gf: model.apply(
+            variables, qf, gf, method="score_from_featuremaps"
+        )
+    )
+    q_fmaps = np.asarray(q_fmaps)
+    g_fmaps = np.asarray(g_fmaps)
+
+    def scorer(qids, gids):
+        qids = np.asarray(qids)
+        gids = np.asarray(gids)
+        P = len(qids)
+        out = np.empty((P,), np.float32)
+        for s in range(0, P, chunk):
+            qc, gc = qids[s : s + chunk], gids[s : s + chunk]
+            n = len(qc)
+            if n < chunk:  # pad to the compiled batch shape
+                qc = np.concatenate([qc, np.repeat(qc[-1:], chunk - n)])
+                gc = np.concatenate([gc, np.repeat(gc[-1:], chunk - n)])
+            got = fn(jnp.asarray(q_fmaps[qc]), jnp.asarray(g_fmaps[gc]))
+            out[s : s + n] = np.asarray(got)[:n]
+        return out
+
+    return scorer
 
 
 def mutual_nn_matches(desc_a: np.ndarray, desc_b: np.ndarray, min_sim: float = 0.0):

@@ -8,8 +8,10 @@ import jax.numpy as jnp
 
 from research_image_retrieval_tpu.index.rerank import (
     geometric_verification_score,
+    make_cvnet_batch_scorer,
     mutual_nn_matches,
     rerank_shortlist,
+    rerank_shortlist_batched,
 )
 from research_image_retrieval_tpu.models.cvnet import (
     CenterPivotConv4d,
@@ -120,3 +122,50 @@ class TestRerankDriver:
         indices = np.array([[1, 2]])
         new_s, new_i = rerank_shortlist(scores, indices, lambda q, g: 0.0, blend=1.0)
         np.testing.assert_array_equal(new_i, indices)
+
+    def test_batched_matches_per_pair(self):
+        rng = np.random.default_rng(0)
+        Q, N, k = 3, 12, 4
+        scores = -np.sort(-rng.uniform(0, 1, (Q, k)))
+        indices = np.stack([rng.choice(N, k, replace=False) for _ in range(Q)])
+        table = rng.uniform(0, 1, (Q, N))
+        per_pair = rerank_shortlist(
+            scores, indices, lambda q, g: table[q, g], blend=0.4
+        )
+        batched = rerank_shortlist_batched(
+            scores, indices, lambda qs, gs: table[qs, gs], blend=0.4
+        )
+        np.testing.assert_allclose(batched[0], per_pair[0], rtol=1e-6)
+        np.testing.assert_array_equal(batched[1], per_pair[1])
+
+
+class TestBatchedCVNetRerank:
+    def test_cvnet_batch_scorer_matches_loop(self, rng):
+        m = CVNetRerank(backbone_name="resnet18", reduction_dim=16)
+        x = jnp.zeros((1, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), x, x)
+
+        Q, N, k = 2, 5, 3
+        qimgs = rng.standard_normal((Q, 64, 64, 3)).astype(np.float32)
+        gimgs = rng.standard_normal((N, 64, 64, 3)).astype(np.float32)
+        qf = np.asarray(m.apply(variables, jnp.asarray(qimgs),
+                                method="extract_featuremap"))
+        gf = np.asarray(m.apply(variables, jnp.asarray(gimgs),
+                                method="extract_featuremap"))
+
+        scores = -np.sort(-rng.uniform(0, 1, (Q, k)))
+        indices = np.stack([rng.choice(N, k, replace=False) for _ in range(Q)])
+
+        def per_pair(qi, gi):
+            s = m.apply(
+                variables, jnp.asarray(qf[qi : qi + 1]),
+                jnp.asarray(gf[gi : gi + 1]), method="score_from_featuremaps",
+            )
+            return float(np.asarray(s)[0])
+
+        want = rerank_shortlist(scores, indices, per_pair, blend=0.5)
+        # chunk=4 forces a padded tail chunk (6 pairs -> 4 + 2pad)
+        scorer = make_cvnet_batch_scorer(m, variables, qf, gf, chunk=4)
+        got = rerank_shortlist_batched(scores, indices, scorer, blend=0.5)
+        np.testing.assert_allclose(got[0], want[0], rtol=1e-4, atol=1e-6)
+        np.testing.assert_array_equal(got[1], want[1])
