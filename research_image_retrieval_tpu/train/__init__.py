@@ -17,8 +17,9 @@ from research_image_retrieval_tpu.train.metrics import (
     AverageMeter,
     MetricLogger,
     JsonlWriter,
+    TensorBoardWriter,
 )
-from research_image_retrieval_tpu.train.checkpoint import CheckpointManager
+from research_image_retrieval_tpu.train.checkpoint import CheckpointManager, partial_load
 
 __all__ = [
     "warmup_cosine_schedule",
@@ -32,5 +33,7 @@ __all__ = [
     "AverageMeter",
     "MetricLogger",
     "JsonlWriter",
+    "TensorBoardWriter",
     "CheckpointManager",
+    "partial_load",
 ]

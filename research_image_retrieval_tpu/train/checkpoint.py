@@ -11,11 +11,78 @@ is one pytree, so resume is exact by construction; saves are async
 from __future__ import annotations
 
 import os
-from typing import Any
+from typing import Any, Callable, Mapping
 
+import numpy as np
 import orbax.checkpoint as ocp
 
-__all__ = ["CheckpointManager"]
+__all__ = ["CheckpointManager", "partial_load"]
+
+
+def partial_load(
+    target: Mapping,
+    source: Mapping,
+    rename: Mapping[str, str] | Callable[[str], str] | None = None,
+    verbose: bool = False,
+):
+    """Shape-filtered partial merge of a foreign checkpoint into a pytree.
+
+    The fine-tune-from-mismatched-checkpoint flow of the reference
+    (reference: utils/helpfunc.py:342-368 — ``'globalmodel.'`` key remap +
+    size-filtered ``load_state_dict``): every source leaf whose (renamed)
+    path exists in ``target`` with the SAME shape replaces the target
+    value; everything else keeps the target's value (e.g. a classifier
+    head with a different class count, or newly added modules).
+
+    Args:
+      target: nested dict to merge into (e.g. ``variables`` or params).
+      source: nested dict from a foreign checkpoint.
+      rename: path rewriting applied to source keys before matching —
+        either a {prefix: replacement} mapping over "/"-joined paths
+        (e.g. ``{"globalmodel/": ""}``) or a callable str -> str.
+      verbose: print a per-key load report.
+
+    Returns:
+      (merged, report) — merged has target's exact structure; report is
+      {"loaded": [...], "shape_mismatch": [...], "unmatched_source": [...],
+       "kept_target": [...]} with "/"-joined key names.
+    """
+    from flax import traverse_util
+
+    tflat = traverse_util.flatten_dict(dict(target), sep="/")
+    sflat = traverse_util.flatten_dict(dict(source), sep="/")
+
+    if rename is not None:
+        if callable(rename):
+            sflat = {rename(k): v for k, v in sflat.items()}
+        else:
+            def apply(k: str) -> str:
+                for old, new in rename.items():
+                    if k.startswith(old):
+                        return new + k[len(old):]
+                return k
+
+            sflat = {apply(k): v for k, v in sflat.items()}
+
+    report = {"loaded": [], "shape_mismatch": [], "unmatched_source": [],
+              "kept_target": []}
+    merged = dict(tflat)
+    for k, v in sflat.items():
+        if k not in tflat:
+            report["unmatched_source"].append(k)
+            continue
+        if np.shape(v) != np.shape(tflat[k]):
+            report["shape_mismatch"].append(k)
+            continue
+        merged[k] = v
+        report["loaded"].append(k)
+    report["kept_target"] = sorted(set(tflat) - set(report["loaded"]))
+
+    if verbose:
+        for name, keys in report.items():
+            for k in keys:
+                print(f"partial_load[{name}]: {k}")
+    return traverse_util.unflatten_dict(merged, sep="/"), report
 
 
 class CheckpointManager:

@@ -36,7 +36,11 @@ from research_image_retrieval_tpu.train.loop import (
     make_eval_step,
     make_train_step,
 )
-from research_image_retrieval_tpu.train.metrics import JsonlWriter, MetricLogger
+from research_image_retrieval_tpu.train.metrics import (
+    JsonlWriter,
+    MetricLogger,
+    TensorBoardWriter,
+)
 from research_image_retrieval_tpu.train.preemption import PreemptionGuard
 from research_image_retrieval_tpu.train.optimizer import (
     make_adamw_optimizer,
@@ -132,6 +136,20 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     os.makedirs(cfg.directory, exist_ok=True)
     mgr = CheckpointManager(cfg.directory, keep_every=cfg.keep_every)
     jsonl = JsonlWriter(os.path.join(cfg.directory, "metrics.jsonl"))
+    tb = (
+        TensorBoardWriter(os.path.join(cfg.directory, "tb"))
+        if getattr(cfg, "tensorboard", False) else None
+    )
+
+    def write_metrics(step: int, **metrics):
+        jsonl.write(step, **metrics)
+        if tb is not None:
+            tb.write(step, **metrics)
+
+    def close_writers():
+        jsonl.close()
+        if tb is not None:
+            tb.close()
 
     # resolve the resume target FIRST: the optimizer phase (and therefore
     # the opt_state structure the restore template needs) depends on the
@@ -260,15 +278,15 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
                       f"step {int(state.step)} (data step {train_it.step}); "
                       "exiting")
                 guard.restore()
-                jsonl.close()
+                close_writers()
                 return state, history
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 train_it.epoch += 1
                 train_it.step = 0
                 break
         history["train_loss"].append(logger.meters["loss"].avg)
-        jsonl.write(int(state.step), epoch=epoch,
-                    train_loss=logger.meters["loss"].avg)
+        write_metrics(int(state.step), epoch=epoch,
+                      train_loss=logger.meters["loss"].avg)
 
         if (epoch + 1) % cfg.val_epoch == 0:
             vlog = MetricLogger()
@@ -289,5 +307,5 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
         if (epoch + 1) % cfg.save_freq == 0:
             mgr.save(epoch + 1, snapshot(), metric=val_metric)
 
-    jsonl.close()
+    close_writers()
     return state, history

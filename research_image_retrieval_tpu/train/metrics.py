@@ -17,7 +17,7 @@ import time
 from collections import defaultdict
 from typing import Iterable
 
-__all__ = ["AverageMeter", "MetricLogger", "JsonlWriter"]
+__all__ = ["AverageMeter", "MetricLogger", "JsonlWriter", "TensorBoardWriter"]
 
 
 class AverageMeter:
@@ -116,6 +116,56 @@ class JsonlWriter:
 
     def close(self):
         self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TensorBoardWriter:
+    """TensorBoard event-file writer behind an optional dependency.
+
+    The reference logs training scalars to TensorBoard in its IRIS trainer
+    (reference: reference/manus/6_iris/iris_train.py:487-488) and imports
+    SummaryWriter in spca_train.py:12; this is the equivalent channel,
+    alongside JsonlWriter.  Uses ``torch.utils.tensorboard`` when the
+    tensorboard package is installed; otherwise becomes a no-op and says so
+    once (the framework must run without the dep).
+    """
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._writer = SummaryWriter(logdir)
+        except Exception as e:  # tensorboard or torch missing
+            print(f"TensorBoardWriter disabled ({type(e).__name__}: {e}); "
+                  "scalars go to JSONL only")
+            self._writer = None
+
+    @property
+    def enabled(self) -> bool:
+        return self._writer is not None
+
+    def write(self, step: int, **metrics):
+        if self._writer is None:
+            return
+        for k, v in metrics.items():
+            try:
+                self._writer.add_scalar(k, float(v), int(step))
+            except (TypeError, ValueError):
+                pass  # non-scalar payloads are JSONL-only
+
+    def flush(self):
+        if self._writer is not None:
+            self._writer.flush()
+
+    def close(self):
+        if self._writer is not None:
+            self._writer.close()
 
     def __enter__(self):
         return self

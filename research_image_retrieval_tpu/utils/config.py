@@ -54,6 +54,9 @@ class TrainConfig:
     val_epoch: int = 1
     print_freq: int = 200
     resume: str | None = None
+    # TensorBoard event files alongside JSONL (reference channel:
+    # manus/6_iris/iris_train.py:487-488); needs the tensorboard package
+    tensorboard: bool = False
 
 
 @dataclasses.dataclass
