@@ -29,8 +29,7 @@ from research_image_retrieval_tpu.ops.losses import (
     cross_entropy,
     topk_errors,
 )
-from research_image_retrieval_tpu.ops.topk_pallas import (
-    pallas_streaming_topk,
+from research_image_retrieval_tpu.ops.topk_stream import (
     scan_streaming_topk,
     approx_streaming_topk,
     streaming_topk,
@@ -58,7 +57,6 @@ __all__ = [
     "madacos_loss",
     "cross_entropy",
     "topk_errors",
-    "pallas_streaming_topk",
     "scan_streaming_topk",
     "approx_streaming_topk",
     "streaming_topk",

@@ -94,12 +94,12 @@ def sharded_streaming_topk(
 
     Unlike ``sharded_search_topk`` (which materializes each device's
     [Q, shard_n] score block), every device streams its gallery shard in
-    chunks carrying only [Q, k] winners (ops.topk_pallas.scan semantics),
+    chunks carrying only [Q, k] winners (ops.topk_stream.scan semantics),
     then the shards' candidates merge over the mesh axis.  Peak per-device
     memory is O(Q * (k + chunk)) regardless of shard size — the layout for
     galleries that fill HBM.
     """
-    from research_image_retrieval_tpu.ops.topk_pallas import (
+    from research_image_retrieval_tpu.ops.topk_stream import (
         scan_streaming_topk,
     )
 

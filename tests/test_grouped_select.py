@@ -1,4 +1,4 @@
-"""Exactness of the group-max pre-filter selection (CPU-validated opt-in)."""
+"""Exactness of the group-max pre-filter selection (the default exact engine)."""
 
 import numpy as np
 
@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from research_image_retrieval_tpu.index import search_topk
-from research_image_retrieval_tpu.ops.topk_pallas import (
+from research_image_retrieval_tpu.ops.topk_stream import (
     _grouped_exact_select,
     scan_streaming_topk,
 )

@@ -8,8 +8,7 @@ before the fix with scores [1, 0, 0, -1, -1] and phantom indices).
 import numpy as np
 
 from research_image_retrieval_tpu.index import search_topk
-from research_image_retrieval_tpu.ops.topk_pallas import (
-    pallas_streaming_topk,
+from research_image_retrieval_tpu.ops.topk_stream import (
     scan_streaming_topk,
 )
 from research_image_retrieval_tpu.parallel import (
@@ -30,7 +29,7 @@ def negative_gallery():
 
 class TestApproxServing:
     def test_high_recall_vs_exact(self, rng):
-        from research_image_retrieval_tpu.ops.topk_pallas import (
+        from research_image_retrieval_tpu.ops.topk_stream import (
             approx_streaming_topk,
         )
 
@@ -48,7 +47,7 @@ class TestApproxServing:
         assert recall >= 0.9, recall
 
     def test_padding_masked(self):
-        from research_image_retrieval_tpu.ops.topk_pallas import (
+        from research_image_retrieval_tpu.ops.topk_stream import (
             approx_streaming_topk,
         )
 
@@ -67,16 +66,6 @@ class TestNoPhantomHits:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         assert np.asarray(s).min() <= -0.99  # real negatives, not zeros
 
-    def test_pallas_streaming_interpret(self):
-        from jax.experimental.pallas import tpu as pltpu
-
-        q, g = negative_gallery()
-        # pad Q to 8 inside; N=10 padded to block=8 multiple
-        s_ref, i_ref = search_topk(q, g, k=5)
-        with pltpu.force_tpu_interpret_mode():
-            s, i = pallas_streaming_topk(q, g, k=5, block=8)
-        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
     def test_sharded_paths(self):
         q, g = negative_gallery()

@@ -1,7 +1,7 @@
 """Streaming top-k correctness vs the dense reference path.
 
-The Pallas kernel runs in interpreter mode on CPU (tests); the compiled
-path is exercised by bench.py on the TPU.
+The grouped exact selection is the default engine; bench.py exercises the
+compiled path on the TPU.
 """
 
 import numpy as np
@@ -11,9 +11,9 @@ import jax
 import jax.numpy as jnp
 
 from research_image_retrieval_tpu.index import search_topk
-from research_image_retrieval_tpu.ops.topk_pallas import (
-    pallas_streaming_topk,
+from research_image_retrieval_tpu.ops.topk_stream import (
     scan_streaming_topk,
+    streaming_topk,
 )
 
 
@@ -45,26 +45,17 @@ class TestScanStreaming:
         s, i = scan_streaming_topk(q, g, k=150, chunk=100)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
+    def test_grouped_vs_plain_sort_identical(self, rng):
+        """The grouped pre-filter default must be bit-identical to the
+        plain per-chunk full sort (the slow-but-obviously-correct path)."""
+        q, g = _data(rng, n=3000, q=9, d=48)
+        s_a, i_a = scan_streaming_topk(q, g, k=40, chunk=1500, grouped=True)
+        s_b, i_b = scan_streaming_topk(q, g, k=40, chunk=1500, grouped=False)
+        np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
+        np.testing.assert_array_equal(np.asarray(s_a), np.asarray(s_b))
 
-class TestPallasStreaming:
-    """Interpreter-mode equivalence (CPU); compiled path runs on TPU."""
-
-    def test_matches_dense_interpret(self, rng, monkeypatch):
-        from jax.experimental.pallas import tpu as pltpu
-
-        q, g = _data(rng, n=512, q=8, d=32)
-        s_ref, i_ref = search_topk(q, g, k=16)
-        with pltpu.force_tpu_interpret_mode():
-            s, i = pallas_streaming_topk(q, g, k=16, block=128)
-        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-5)
-        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
-
-    def test_padding_paths_interpret(self, rng):
-        from jax.experimental.pallas import tpu as pltpu
-
-        # Q not multiple of 8, N not multiple of block
-        q, g = _data(rng, n=300, q=5, d=32)
-        s_ref, i_ref = search_topk(q, g, k=8)
-        with pltpu.force_tpu_interpret_mode():
-            s, i = pallas_streaming_topk(q, g, k=8, block=128)
+    def test_dispatch_exact_default(self, rng):
+        q, g = _data(rng, n=700)
+        s_ref, i_ref = search_topk(q, g, k=12)
+        s, i = streaming_topk(q, g, k=12)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
