@@ -1,8 +1,20 @@
-"""Benchmark: GeM-R50 descriptor extraction throughput (images/sec/chip).
+"""Benchmarks at the framework's honest operating points.
 
-Runs on the default JAX platform (the real TPU under the driver).  Prints
-ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.  Baseline is the
-driver target of 2000 images/sec/chip (BASELINE.json).
+Prints one JSON line per metric; the LAST line is the headline
+(GeM-R50 extraction throughput vs the 2,000 img/s/chip BASELINE target)
+so tail-parsers keep working.  Metrics:
+
+* ``gem_r50_extract_imgs_per_sec_224`` — bf16 batched extraction @224
+  (the round-1 headline; batch-throughput operating point).
+* ``gem_r50_extract_imgs_per_sec_1024_ms3`` — bf16 extraction at the
+  reference's eval operating point: imsize 1024, multi-scale
+  [1, 2^-1/2, 1/2] sum-then-renormalize (reference utils/helpfunc.py:30-46).
+* ``gem_r50_train_imgs_per_sec_512_b32_arcface81313`` — full train-step
+  throughput (fwd+bwd+SGD) at the reference recipe's 512px with the real
+  81,313-class ArcFace head, per chip.
+* ``exact_top100_ms_1p4M`` / ``approx_top100_ms_1p4M`` — streaming top-k
+  engines over the 1.4M x 2048 bf16 GLDv2-scale index (<10 ms BASELINE
+  target, budgeted for 8 chips, measured on one).
 
 Timing uses the chained-dependency slope method (utils.benchtime): on this
 rig block_until_ready acks asynchronously through the remote tunnel, so
@@ -17,15 +29,10 @@ import jax
 import jax.numpy as jnp
 
 BASELINE_IMGS_PER_SEC = 2000.0
+BASELINE_TOPK_MS = 10.0
 
 
-def main():
-    import sys, os
-
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from research_image_retrieval_tpu.models import get_model
-    from research_image_retrieval_tpu.utils.benchtime import timed_slope
-
+def _extract_224(get_model, timed_slope):
     model = get_model("gem_r50", num_classes=1024, dtype=jnp.bfloat16)
     batch, size = 64, 224
     images = jnp.asarray(
@@ -37,22 +44,175 @@ def main():
         labels=jnp.zeros((1,), jnp.int32), train=False,
     )
 
-    @jax.jit
-    def extract(x):
-        return model.apply(variables, x, method="extract")
+    def extract(x, v):
+        return model.apply(v, x, method="extract")
 
-    sec_per_step = timed_slope(extract, images, n_small=3, n_large=13)
-    imgs_per_sec = batch / sec_per_step
-    print(
-        json.dumps(
-            {
-                "metric": "gem_r50_extract_imgs_per_sec_224",
-                "value": round(imgs_per_sec, 2),
-                "unit": "images/sec/chip",
-                "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 4),
-            }
-        )
+    sec = timed_slope(extract, images, n_small=3, n_large=13,
+                      args=(variables,))
+    v = batch / sec
+    return {
+        "metric": "gem_r50_extract_imgs_per_sec_224",
+        "value": round(v, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    }
+
+
+def _extract_1024_ms3(get_model, timed_slope):
+    from research_image_retrieval_tpu.index import multiscale_descriptor
+
+    model = get_model("gem_r50", num_classes=1024, dtype=jnp.bfloat16)
+    batch, size = 8, 1024
+    images = jnp.asarray(
+        np.random.default_rng(1).standard_normal((batch, size, size, 3)),
+        jnp.bfloat16,
     )
+    variables = model.init(
+        jax.random.PRNGKey(0), images[:1, :64, :64].astype(jnp.float32),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+
+    def ms_extract(x, v):
+        fn = lambda im: model.apply(v, im, method="extract")
+        return multiscale_descriptor(fn, x, scales=(1.0, 2 ** -0.5, 0.5))
+
+    sec = timed_slope(ms_extract, images, n_small=2, n_large=6,
+                      args=(variables,))
+    v = batch / sec
+    return {
+        "metric": "gem_r50_extract_imgs_per_sec_1024_ms3",
+        "value": round(v, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    }
+
+
+def _train_step_512(get_model, timed_slope):
+    from research_image_retrieval_tpu.train import (
+        create_train_state,
+        make_sgd_optimizer,
+        make_train_step,
+        warmup_cosine_schedule,
+    )
+
+    model = get_model("gem_r50", num_classes=81313, dtype=jnp.bfloat16,
+                      bn_axis_name=None)
+    batch, size = 32, 512
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.standard_normal((batch, size, size, 3)),
+                         jnp.bfloat16)
+    labels = jnp.asarray(rng.integers(0, 81313, batch))
+    sched = warmup_cosine_schedule(1, 1e-4, 5, 0.01, 1e-3, iter_per_epoch=100)
+    tx = make_sgd_optimizer(sched, momentum=0.9, weight_decay=1e-4,
+                            clip_max_norm=1.0)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0),
+        images[:1].astype(jnp.float32), labels[:1], tx,
+    )
+    step = make_train_step(model, tx, donate=False)
+
+    def train_one(x, state, labels):
+        new_state, metrics = step(state, x, labels)
+        # reduce over EVERY leaf of the new state: without this XLA would
+        # dead-code-eliminate the optimizer/momentum writes (the chain
+        # carries only x); returning a scalar keeps the readback tiny
+        dep = sum(
+            jnp.mean(l.astype(jnp.float32))
+            for l in jax.tree.leaves(new_state)
+        )
+        return dep + metrics["loss"] * 1e-12
+
+    sec = timed_slope(train_one, images, n_small=2, n_large=6,
+                      args=(state, labels))
+    v = batch / sec
+    return {
+        "metric": "gem_r50_train_imgs_per_sec_512_b32_arcface81313",
+        "value": round(v, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,  # the reference records no training throughput
+    }
+
+
+def _topk_1p4m(timed_slope):
+    from research_image_retrieval_tpu.ops import (
+        approx_streaming_topk,
+        scan_streaming_topk,
+    )
+
+    N, D, Q, K = 1_400_000, 2048, 70, 100
+
+    @jax.jit
+    def make_gallery(key):
+        g = jax.random.normal(key, (N, D), jnp.bfloat16)
+        n = jnp.linalg.norm(g.astype(jnp.float32), axis=1, keepdims=True)
+        return (g.astype(jnp.float32) / n).astype(jnp.bfloat16)
+
+    g = make_gallery(jax.random.PRNGKey(0))
+    g.block_until_ready()
+    q = jax.random.normal(jax.random.PRNGKey(1), (Q, D), jnp.float32)
+    q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+    chunk = 350_000
+
+    def mk_step(fn):
+        def step(x, g):
+            s, _ = fn(x, g)
+            return x + jnp.mean(s) * 1e-12
+        return step
+
+    out = []
+    for name, fn in (
+        ("exact_top100_ms_1p4M",
+         lambda q, g: scan_streaming_topk(q, g, k=K, chunk=chunk)),
+        ("approx_top100_ms_1p4M",
+         lambda q, g: approx_streaming_topk(q, g, k=K)),
+    ):
+        sec = timed_slope(mk_step(fn), q, n_small=2, n_large=6, args=(g,))
+        ms = sec * 1e3
+        out.append({
+            "metric": name,
+            "value": round(ms, 2),
+            "unit": "ms",
+            "vs_baseline": round(BASELINE_TOPK_MS / ms, 4),  # >1 = better
+        })
+    return out
+
+
+def main():
+    import sys, os, time
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from research_image_retrieval_tpu.models import get_model
+    from research_image_retrieval_tpu.utils.benchtime import timed_slope
+
+    t0 = time.time()
+    # the full suite takes ~15 min on the tunnel rig (5 large compiles);
+    # under a tighter driver budget later points are skipped, never the
+    # headline
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    # headline FIRST so it is measured whatever happens later
+    headline = _extract_224(get_model, timed_slope)
+    print(json.dumps(headline), flush=True)
+
+    for fn, args in (
+        (_topk_1p4m, (timed_slope,)),
+        (_train_step_512, (get_model, timed_slope)),
+        (_extract_1024_ms3, (get_model, timed_slope)),
+    ):
+        if time.time() - t0 > budget:
+            print(json.dumps({"metric": fn.__name__, "skipped":
+                              "bench time budget exhausted"}), flush=True)
+            continue
+        try:
+            r = fn(*args)
+            for one in (r if isinstance(r, list) else [r]):
+                print(json.dumps(one), flush=True)
+        except Exception as e:  # keep the headline alive if one point dies
+            print(json.dumps({"metric": fn.__name__,
+                              "error": repr(e)[:200]}), flush=True)
+
+    # repeat the headline LAST for tail-parsers
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
