@@ -36,7 +36,7 @@ class QAFF(nn.Module):
     @nn.compact
     def __call__(self, query_feature, gallery_features, deterministic=True):
         """query_feature: [B, D]; gallery_features: list of [B, D]."""
-        ln = nn.LayerNorm(name="layer_norm")
+        ln = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
         q = ln(query_feature)
         h = nn.relu(nn.Dense(self.feature_dim // 2, name="wg_fc1")(q))
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)

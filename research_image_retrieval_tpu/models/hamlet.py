@@ -43,7 +43,7 @@ class CrossScaleAttention(nn.Module):
             )
             att = Attention(self.dim, num_heads=4, qkv_bias=True,
                             name=f"cross{i}")(
-                nn.LayerNorm(name=f"ln{i}")(t), others, others, deterministic
+                nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(t), others, others, deterministic
             )
             outs.append(t + att)
         return [

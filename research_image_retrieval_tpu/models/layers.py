@@ -162,10 +162,10 @@ class Decoder(nn.Module):
         )
         mlp = Mlp(2 * self.dim, self.dim, self.drop, name="mlp")
 
-        q_bn = nn.LayerNorm(name="bn1")(q)
+        q_bn = nn.LayerNorm(epsilon=1e-5, name="bn1")(q)
         q = q + dp(cross(q_bn, x, x, deterministic, key_mask=key_mask),
                    deterministic)
         q = q + dp(mlp(q, deterministic), deterministic)
-        q_bn = nn.LayerNorm(name="bn2")(q)
+        q_bn = nn.LayerNorm(epsilon=1e-5, name="bn2")(q)
         q = q + dp(self_attn(q_bn, q_bn, q_bn, deterministic), deterministic)
         return q

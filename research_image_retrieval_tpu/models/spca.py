@@ -188,7 +188,7 @@ class CrossAttnFuser(nn.Module):
         B, H, W, C = q_map.shape
         q = q_map.reshape(B, H * W, C)
         x = x_map.reshape(B, H * W, x_map.shape[-1])
-        q_ln = nn.LayerNorm(name="ln")(q)
+        q_ln = nn.LayerNorm(epsilon=1e-5, name="ln")(q)
         x = nn.Dense(self.dim, name="proj")(x)
         q = q + Attention(self.dim, 8, qkv_bias=True, name="cross_attn")(
             q_ln, x, x, deterministic, key_mask=tmask
@@ -206,11 +206,11 @@ class ConcatFuser(nn.Module):
     @nn.compact
     def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
-        q = nn.LayerNorm(name="bn1")(q_map.reshape(B, H * W, C))
+        q = nn.LayerNorm(epsilon=1e-5, name="bn1")(q_map.reshape(B, H * W, C))
         x = nn.Dense(self.dim, name="proj")(
             x_map.reshape(B, H * W, x_map.shape[-1])
         )
-        x = nn.LayerNorm(name="bn2")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="bn2")(x)
         qx = jnp.concatenate([q, x], axis=2)
         qx = qx + Mlp(4 * self.dim, 2 * self.dim, name="mlp")(qx, deterministic)
         return qx.reshape(B, H, W, 2 * C)  # per-token ops: no mask needed
@@ -226,8 +226,8 @@ class HadamardFuser(nn.Module):
     def __call__(self, q_map, x_map, deterministic: bool = True, tmask=None):
         B, H, W, C = q_map.shape
         q = nn.Dense(self.dim // 4, name="proj")(q_map.reshape(B, H * W, C))
-        q = nn.LayerNorm(name="bn1")(q)
-        x = nn.LayerNorm(name="bn2")(
+        q = nn.LayerNorm(epsilon=1e-5, name="bn1")(q)
+        x = nn.LayerNorm(epsilon=1e-5, name="bn2")(
             x_map.reshape(B, H * W, x_map.shape[-1])
         )
         out = jnp.einsum("bnc,bnd->bncd", q, x,
@@ -274,14 +274,14 @@ class DecoderFuser(nn.Module):
         x = nn.Dense(self.dim, name="proj_fc")(
             x_map.reshape(B, H * W, x_map.shape[-1])
         )
-        x = nn.LayerNorm(name="proj_ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="proj_ln")(x)
         cross = Attention(self.dim, 8, qkv_bias=True, name="cross_attn")
         self_a = Attention(self.dim, 8, qkv_bias=True, name="self_attn")
         mlp = Mlp(2 * self.dim, self.dim, name="mlp")
-        q_bn = nn.LayerNorm(name="bn1")(q)
+        q_bn = nn.LayerNorm(epsilon=1e-5, name="bn1")(q)
         q = q + cross(q_bn, x, x, deterministic, key_mask=tmask)
         q = q + mlp(q, deterministic)
-        q_bn = nn.LayerNorm(name="bn2")(q)
+        q_bn = nn.LayerNorm(epsilon=1e-5, name="bn2")(q)
         q = q + self_a(q_bn, q_bn, q_bn, deterministic, key_mask=tmask)
         return q.reshape(B, H, W, C)
 

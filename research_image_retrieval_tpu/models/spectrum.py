@@ -148,7 +148,7 @@ class HARMONY(nn.Module):
         fused = jnp.einsum(
             "bm,bmd->bd", gate, stack, preferred_element_type=jnp.float32
         )
-        return nn.LayerNorm(name="ln")(fused)
+        return nn.LayerNorm(epsilon=1e-5, name="ln")(fused)
 
 
 class SPECTRUMModel(nn.Module):

