@@ -12,6 +12,8 @@ so trainers and the extraction/eval stack are model-agnostic.
 from research_image_retrieval_tpu.models.backbone import (
     ResNet,
     convert_torch_resnet,
+    convert_features_resnet,
+    convert_pycls_resnet,
     RESNET_STAGE_DEPTHS,
 )
 from research_image_retrieval_tpu.models.registry import (
@@ -53,6 +55,8 @@ from research_image_retrieval_tpu.models.cvnet import CVNetRerank  # noqa: E402
 __all__ = [
     "ResNet",
     "convert_torch_resnet",
+    "convert_features_resnet",
+    "convert_pycls_resnet",
     "RESNET_STAGE_DEPTHS",
     "MODEL_REGISTRY",
     "get_model",

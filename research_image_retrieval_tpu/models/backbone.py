@@ -35,6 +35,8 @@ from research_image_retrieval_tpu.ops.masking import (
 __all__ = [
     "ResNet",
     "convert_torch_resnet",
+    "convert_features_resnet",
+    "convert_pycls_resnet",
     "RESNET_STAGE_DEPTHS",
     "stage_extents",
 ]
@@ -78,12 +80,18 @@ def _apply_mask(y: jnp.ndarray, extents: jnp.ndarray | None) -> jnp.ndarray:
 
 
 class BottleneckBlock(nn.Module):
-    """torchvision-v1.5 bottleneck: 1x1 -> 3x3(stride) -> 1x1, projection skip."""
+    """Bottleneck: 1x1 -> 3x3 -> 1x1, projection skip.
+
+    ``stride_on_conv1=False`` is torchvision v1.5 (stride on the 3x3);
+    True is the MSRA/pycls placement (stride on the first 1x1) used by the
+    reference's scratch DOLG backbone (reference: networks/backbone.py:305-312).
+    """
 
     width: int
     out_ch: int
     stride: int = 1
     dilation: int = 1
+    stride_on_conv1: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,12 +121,19 @@ class BottleneckBlock(nn.Module):
             name=name,
         )
         identity = x
-        y = nn.relu(norm("bn1")(conv(self.width, 1, 1, 1, "conv1")(x)))
+        s1 = self.stride if self.stride_on_conv1 else 1
+        s2 = 1 if self.stride_on_conv1 else self.stride
+        y = nn.relu(norm("bn1")(conv(self.width, 1, s1, 1, "conv1")(x)))
         # the 1x1 conv1 + BN leaks bias into the pad region; re-zero before
-        # the only spatial conv so its boundary reads are exact zero padding
-        y = _apply_mask(y, extents)
+        # the only spatial conv so its boundary reads are exact zero
+        # padding (a strided 1x1 halves the valid extent first)
+        ext1 = (
+            ceil_half(extents)
+            if extents is not None and s1 == 2 else extents
+        )
+        y = _apply_mask(y, ext1)
         y = nn.relu(
-            norm("bn2")(conv(self.width, 3, self.stride, self.dilation, "conv2")(y))
+            norm("bn2")(conv(self.width, 3, s2, self.dilation, "conv2")(y))
         )
         y = norm("bn3")(conv(self.out_ch, 1, 1, 1, "conv3")(y))
         if identity.shape[-1] != self.out_ch or self.stride != 1:
@@ -191,6 +206,9 @@ class ResNet(nn.Module):
         A single stage returns the tensor; several return a dict.
       dilation_block5: replace layer4's stride-2 with dilation-2 3x3s
         (reference: utils/helpfunc.py:177-197) — preserves resolution.
+      stride_on_conv1: MSRA/pycls stride placement (on the first 1x1 of
+        each bottleneck) — the reference's scratch DOLG backbone layout
+        (networks/backbone.py:218-346); default is torchvision v1.5.
       bn_axis_name: mesh axis name for cross-replica BN statistics
         (SyncBatchNorm equivalent); only active when train=True.
       dtype: compute dtype (bf16 for TPU training; params stay fp32).
@@ -199,6 +217,7 @@ class ResNet(nn.Module):
     name_: str = "resnet50"
     out_stages: Sequence[int] = (5,)
     dilation_block5: bool = False
+    stride_on_conv1: bool = False
     bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
@@ -266,6 +285,10 @@ class ResNet(nn.Module):
                 first_stride, dilation = 1, 2
             for j in range(depth):
                 stride = first_stride if j == 0 else 1
+                extra = (
+                    {} if basic
+                    else {"stride_on_conv1": self.stride_on_conv1}
+                )
                 y = block_cls(
                     width=w,
                     out_ch=w * expansion,
@@ -276,6 +299,7 @@ class ResNet(nn.Module):
                     dilation=1 if (j == 0 and stage == 5 and self.dilation_block5) else dilation,
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
+                    **extra,
                 )(y, train=train, bn_axis_name=self.bn_axis_name, extents=ext)
                 if ext is not None and stride == 2:
                     ext = ceil_half(ext)
@@ -338,6 +362,83 @@ def convert_torch_resnet(state_dict: dict, name: str = "resnet50") -> dict:
             if f"{tp}.downsample.0.weight" in state_dict:
                 put_conv(bp, "downsample_conv", f"{tp}.downsample.0.weight")
                 put_bn(bp, bs, "downsample_bn", f"{tp}.downsample.1")
+            key = f"layer{i + 1}_{j}"
+            params[key] = bp
+            stats[key] = bs
+
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_features_resnet(state_dict: dict, name: str = "resnet101") -> dict:
+    """Convert a features-Sequential ResNet state dict (Caffe/``filip`` mode).
+
+    The reference's ``filip`` pretrained mode loads a Caffe-converted
+    ResNet101 whose state dict is keyed by ``nn.Sequential`` indices over
+    torchvision's children (reference: networks/backbone.py:84-88 —
+    ``nn.Sequential(*children[:-2]).load_state_dict``): ``0`` = conv1,
+    ``1`` = bn1, ``4``..``7`` = layer1..layer4.  Remaps to torchvision
+    keys and delegates to ``convert_torch_resnet``.  Pair with the BGR +
+    0-255 input convention of Caffe weights (data.transforms ``bgr``).
+    """
+    remap = {}
+    for k, v in state_dict.items():
+        head, _, rest = k.partition(".")
+        if head == "0":
+            remap["conv1." + rest] = v
+        elif head == "1":
+            remap["bn1." + rest] = v
+        elif head in ("2", "3"):
+            continue  # relu / maxpool have no parameters
+        else:
+            remap[f"layer{int(head) - 3}." + rest] = v
+    return convert_torch_resnet(remap, name)
+
+
+def convert_pycls_resnet(state_dict: dict, name: str = "resnet101") -> dict:
+    """Convert a pycls-layout ResNet state dict (the reference's scratch
+    DOLG backbone, ``ResStemIN``/``ResStage``/``BottleneckTransform`` —
+    reference: networks/backbone.py:218-346) to Flax variables.
+
+    Key layout: ``stem.{conv,bn}``, ``s{1..4}.b{j}.f.{a,a_bn,b,b_bn,c,c_bn}``
+    plus ``s{i}.b{j}.{proj,bn}`` on shape-changing blocks.  Use with
+    ``ResNet(stride_on_conv1=True)`` — pycls puts the stride on the first
+    1x1 ('a') conv, not the 3x3.
+    """
+    depths = RESNET_STAGE_DEPTHS[name]
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(dst: dict, flax_name: str, torch_key: str):
+        w = _t(state_dict[torch_key])
+        dst[flax_name] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+
+    def put_bn(p: dict, s: dict, flax_name: str, torch_prefix: str):
+        p[flax_name] = {
+            "scale": _t(state_dict[f"{torch_prefix}.weight"]),
+            "bias": _t(state_dict[f"{torch_prefix}.bias"]),
+        }
+        s[flax_name] = {
+            "mean": _t(state_dict[f"{torch_prefix}.running_mean"]),
+            "var": _t(state_dict[f"{torch_prefix}.running_var"]),
+        }
+
+    put_conv(params, "conv1", "stem.conv.weight")
+    put_bn(params, stats, "bn1", "stem.bn")
+
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            tp = f"s{i + 1}.b{j + 1}"
+            bp: dict = {}
+            bs: dict = {}
+            for flax_c, flax_b, t in (
+                ("conv1", "bn1", "a"), ("conv2", "bn2", "b"),
+                ("conv3", "bn3", "c"),
+            ):
+                put_conv(bp, flax_c, f"{tp}.f.{t}.weight")
+                put_bn(bp, bs, flax_b, f"{tp}.f.{t}_bn")
+            if f"{tp}.proj.weight" in state_dict:
+                put_conv(bp, "downsample_conv", f"{tp}.proj.weight")
+                put_bn(bp, bs, "downsample_bn", f"{tp}.bn")
             key = f"layer{i + 1}_{j}"
             params[key] = bp
             stats[key] = bs

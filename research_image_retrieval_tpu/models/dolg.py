@@ -98,6 +98,10 @@ class DOLGModel(nn.Module):
     with_aspp: bool = False
     s: float = 30.0
     m: float = 0.15
+    # MSRA/pycls stride placement — the reference's scratch DOLG backbone
+    # (ResStemIN/ResStage, networks/backbone.py:218-346); port its
+    # checkpoints via backbone.convert_pycls_resnet
+    scratch_backbone: bool = False
     bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
@@ -105,6 +109,7 @@ class DOLGModel(nn.Module):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(4, 5),
+            stride_on_conv1=self.scratch_backbone,
             bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
@@ -169,4 +174,12 @@ register_model(
     defaults=dict(backbone_name="resnet50", outputdim=512),
     family="dolg",
     table1_names=("R50-DOLG",),
+)(DOLGModel)
+
+register_model(
+    "dolg_r101_scratch",
+    description="DOLG over the reference's scratch pycls-style ResNet101 (MSRA stride placement; reference networks/backbone.py:218-346) — checkpoint-portable via convert_pycls_resnet",
+    defaults=dict(backbone_name="resnet101", outputdim=512,
+                  scratch_backbone=True),
+    family="dolg",
 )(DOLGModel)
