@@ -20,6 +20,12 @@ from research_image_retrieval_tpu.data.transforms import (
 )
 from research_image_retrieval_tpu.data.eval_loader import ImageFromList
 from research_image_retrieval_tpu.data.pipeline import ShardedBatchIterator
+from research_image_retrieval_tpu.data.records import (
+    RecordDataset,
+    RecordReader,
+    convert_lmdb_to_records,
+    write_records,
+)
 
 __all__ = [
     "SyntheticRetrievalDataset",
@@ -36,4 +42,8 @@ __all__ = [
     "imthumbnail",
     "ImageFromList",
     "ShardedBatchIterator",
+    "RecordDataset",
+    "RecordReader",
+    "convert_lmdb_to_records",
+    "write_records",
 ]

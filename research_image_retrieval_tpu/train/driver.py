@@ -53,7 +53,36 @@ __all__ = ["train", "build_datasets", "build_optimizer"]
 
 
 def build_datasets(cfg: TrainConfig):
-    """GLDv2 datasets when configured, synthetic fixture otherwise."""
+    """GLDv2 datasets when configured, synthetic fixture otherwise.
+
+    A ``data_root`` pointing at a packed record file (``.rirrec`` — see
+    data/records.py, the native replacement for the reference's LMDB path)
+    loads through the mmap reader with a seeded per-class train/val split
+    mirroring ``random_select`` (reference configdataset.py:366-388).
+    """
+    if cfg.data_root and cfg.data_root.endswith(".rirrec"):
+        from research_image_retrieval_tpu.data import RecordDataset, RecordReader
+
+        labels = RecordReader(cfg.data_root).labels()
+        n_cls = int(labels.max()) + 1
+        rng = np.random.default_rng(cfg.seed)
+        val_idx = []
+        for c in range(n_cls):
+            members = np.flatnonzero(labels == c)
+            take = min(cfg.val_per_class, max(len(members) - 1, 0))
+            if take:
+                val_idx.extend(rng.choice(members, take, replace=False))
+        val_mask = np.zeros(len(labels), bool)
+        val_mask[np.asarray(val_idx, int)] = True
+        train = RecordDataset(
+            cfg.data_root, indices=np.flatnonzero(~val_mask),
+            transform=TrainTransform(cfg.imsize, seed=cfg.seed),
+        )
+        val = RecordDataset(
+            cfg.data_root, indices=np.flatnonzero(val_mask),
+            transform=EvalTransform(cfg.imsize),
+        )
+        return train, val, n_cls
     if cfg.data_root and cfg.csv_path:
         return build_gldv2_train_val(
             cfg.data_root,
