@@ -1,0 +1,111 @@
+"""Descriptor-extraction CLI: images in, L2-normalized descriptors out.
+
+The standalone counterpart of the extraction the reference embeds inside
+its trainers/evaluators (reference: utils/helpfunc.py:18-48): point it at
+an image directory, a packed record file (``.rirrec``), or a Revisited
+dataset, and it writes an ``.npz`` index (``vecs`` [N, D] float32 plus
+``names``/``labels``) ready for ``rir-search``.
+
+    python -m research_image_retrieval_tpu.cli.extract --model gem_r50 \
+        --images /data/jpegs --checkpoint ckpt/best --multiscale \
+        --output gallery.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="descriptor extraction")
+    p.add_argument("--model", default="gem_r50")
+    p.add_argument("--checkpoint", default=None)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--images", default=None,
+                     help="directory of images (jpg/jpeg/png, recursive)")
+    src.add_argument("--records", default=None,
+                     help="packed .rirrec file (see docs/DATA.md)")
+    src.add_argument("--dataset", default=None,
+                     help="Revisited dataset name (needs --data-root)")
+    p.add_argument("--data-root", default="")
+    p.add_argument("--queries", action="store_true",
+                   help="with --dataset: extract the query set (bbox-cropped)")
+    p.add_argument("--imsize", type=int, default=1024,
+                   help="max side for thumbnailing (0 = original size)")
+    p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--output", required=True)
+    return p
+
+
+def _iter_image_files(root: str):
+    exts = {".jpg", ".jpeg", ".png"}
+    for dirpath, _, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            if os.path.splitext(f)[1].lower() in exts:
+                yield os.path.join(dirpath, f)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from research_image_retrieval_tpu.data.eval_loader import ImageFromList
+    from research_image_retrieval_tpu.evaluation.driver import (
+        _load_model,
+        _make_extract_fn,
+    )
+    from research_image_retrieval_tpu.index import extract_vectors
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(model=args.model, checkpoint=args.checkpoint,
+                     imsize=args.imsize)
+    model, variables = _load_model(cfg)
+    extract, bucket = _make_extract_fn(model, variables)
+    scales = (1.0, 2 ** -0.5, 0.5) if args.multiscale else (1.0,)
+
+    names: list = []
+    labels = None
+    if args.images:
+        paths = list(_iter_image_files(args.images))
+        if not paths:
+            raise SystemExit(f"no images under {args.images}")
+        names = [os.path.relpath(p, args.images) for p in paths]
+        loader = ImageFromList(paths, imsize=args.imsize or None)
+    elif args.records:
+        from research_image_retrieval_tpu.data import RecordDataset
+
+        ds = RecordDataset(args.records, max_side=args.imsize)
+        labels = ds.labels()
+        names = [str(i) for i in range(len(ds))]
+        loader = [ds[i][0] for i in range(len(ds))]
+    else:
+        from research_image_retrieval_tpu.data.revisited import RevisitedDataset
+
+        ds = RevisitedDataset(args.dataset, args.data_root)
+        if args.queries:
+            names = list(ds.qimlist)
+            loader = ImageFromList(
+                ds.qim_fnames,
+                imsize=args.imsize or None,
+                bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
+            )
+        else:
+            names = list(ds.imlist)
+            loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None)
+
+    vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
+                           batch_size=args.batch_size, print_freq=100)
+    out = {"vecs": np.asarray(vecs, np.float32),
+           "names": np.asarray(names)}
+    if labels is not None:
+        out["labels"] = np.asarray(labels)
+    np.savez(args.output, **out)
+    print(f"wrote {out['vecs'].shape} descriptors -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,76 @@
+"""Serving CLI: top-k search over a saved descriptor index.
+
+Completes the extract -> index -> search loop on the command line
+(reference pattern: iris_evaluate.py:383-386 dense matmul + argsort; here
+the streaming engines of ops/topk_stream.py).
+
+    python -m research_image_retrieval_tpu.cli.search \
+        --gallery gallery.npz --queries queries.npz --topk 10 \
+        [--approx] [--alpha-qe] --output results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="top-k descriptor search")
+    p.add_argument("--gallery", required=True, help=".npz from rir-extract")
+    p.add_argument("--queries", required=True, help=".npz from rir-extract")
+    p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--approx", action="store_true",
+                   help="approx_max_k serving engine (exact is the default)")
+    p.add_argument("--alpha-qe", action="store_true")
+    p.add_argument("--qe-k", type=int, default=10)
+    p.add_argument("--qe-alpha", type=float, default=3.0)
+    p.add_argument("--output", default=None, help="write results JSON here")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    import numpy as np
+
+    from research_image_retrieval_tpu.index import alpha_query_expansion
+    from research_image_retrieval_tpu.ops import streaming_topk
+
+    gal = np.load(args.gallery, allow_pickle=False)
+    qry = np.load(args.queries, allow_pickle=False)
+    gvecs, qvecs = gal["vecs"], qry["vecs"]
+    gnames = gal["names"] if "names" in gal else np.arange(len(gvecs))
+
+    if args.alpha_qe:
+        qvecs = np.asarray(
+            alpha_query_expansion(qvecs, gvecs, k=args.qe_k,
+                                  alpha=args.qe_alpha)
+        )
+
+    k = min(args.topk, len(gvecs))
+    scores, idx = streaming_topk(qvecs, gvecs, k=k, exact=not args.approx)
+    scores, idx = np.asarray(scores), np.asarray(idx)
+
+    results = []
+    qnames = qry["names"] if "names" in qry else np.arange(len(qvecs))
+    for qi in range(len(qvecs)):
+        results.append({
+            "query": str(qnames[qi]),
+            "matches": [
+                {"name": str(gnames[j]), "score": float(s)}
+                for j, s in zip(idx[qi], scores[qi])
+            ],
+        })
+        top = results[-1]["matches"][0]
+        print(f"{results[-1]['query']}: {top['name']} ({top['score']:.4f}) "
+              f"+ {k - 1} more")
+    if args.output:
+        with open(args.output, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {len(results)} result lists -> {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,52 @@
+"""End-to-end CLI loop: rir-extract over a record file -> rir-search."""
+
+import io
+import json
+
+import numpy as np
+
+from research_image_retrieval_tpu.cli.extract import main as extract_main
+from research_image_retrieval_tpu.cli.search import main as search_main
+from research_image_retrieval_tpu.data import write_records
+
+
+def _jpeg(rng, h=32, w=32) -> bytes:
+    from PIL import Image
+
+    img = Image.fromarray(
+        rng.integers(0, 255, (h, w, 3), dtype=np.uint8), "RGB"
+    )
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+def test_extract_then_search(tmp_path, rng):
+    rec = tmp_path / "g.rirrec"
+    write_records(str(rec), [(_jpeg(rng), i % 3) for i in range(6)])
+
+    gal_npz = tmp_path / "gal.npz"
+    rc = extract_main([
+        "--model", "gem_r50", "--records", str(rec), "--imsize", "0",
+        "--output", str(gal_npz), "--batch-size", "4",
+    ])
+    assert rc == 0
+    gal = np.load(gal_npz)
+    assert gal["vecs"].shape == (6, 2048)
+    np.testing.assert_allclose(
+        np.linalg.norm(gal["vecs"], axis=1), 1.0, atol=1e-4
+    )
+    assert "labels" in gal
+
+    out = tmp_path / "res.json"
+    rc = search_main([
+        "--gallery", str(gal_npz), "--queries", str(gal_npz),
+        "--topk", "3", "--output", str(out),
+    ])
+    assert rc == 0
+    res = json.loads(out.read_text())
+    assert len(res) == 6
+    # self-similarity: every query's top-1 is itself
+    for qi, r in enumerate(res):
+        assert r["matches"][0]["name"] == str(qi)
+        assert r["matches"][0]["score"] > 0.999
