@@ -26,6 +26,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--multiscale", action="store_true",
                    help="3-scale extraction (1, 1/sqrt(2), 1/2)")
     p.add_argument("--alpha-qe", action="store_true")
+    p.add_argument("--superglobal", action="store_true",
+                   help="SuperGlobal-style global-feature reranking of the "
+                        "top-M shortlist (index/superglobal.py)")
+    p.add_argument("--sg-m", type=int, default=100)
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
     p.add_argument("--output", default=None, help="write results JSON here")
@@ -50,6 +54,8 @@ def main(argv=None):
         alpha_qe=args.alpha_qe,
         qe_k=args.qe_k,
         qe_alpha=args.qe_alpha,
+        superglobal=args.superglobal,
+        sg_m=args.sg_m,
     )
     results = evaluate(cfg)
     if args.output:

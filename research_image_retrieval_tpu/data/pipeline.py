@@ -135,9 +135,18 @@ class ShardedBatchIterator:
             transform.set_epoch(self.epoch)
         idxs = self._epoch_indices(self.epoch)
         nsteps = self.steps_per_epoch()
+        prefetch = getattr(self.dataset, "prefetch", None)
         while self.step < nsteps:
             lo = self.step * self.batch_size
             batch_idx = idxs[lo : lo + self.batch_size]
+            if prefetch is not None and self.step + 1 < nsteps:
+                # overlap the NEXT batch's page-ins with this decode
+                # (RecordDataset -> native MADV_WILLNEED, data/records.py)
+                nxt = idxs[lo + self.batch_size : lo + 2 * self.batch_size]
+                try:
+                    prefetch(nxt)
+                except Exception:
+                    prefetch = None  # never let an advisory path kill input
             # advance state BEFORE yielding so state_dict() captured between
             # batches resumes at the next batch, not this one
             self.step += 1

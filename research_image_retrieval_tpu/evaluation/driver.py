@@ -124,10 +124,33 @@ def evaluate(cfg: EvalConfig):
                 alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
             )
         ranks = rank_full(qvecs, vecs)
+        if cfg.superglobal:
+            ranks = _superglobal_ranks(qvecs, vecs, ranks, cfg)
         results[dataset] = compute_map_and_print(
             dataset, "global", "test", ranks, ds.gnd, kappas=list(cfg.kappas)
         )
     return results
+
+
+def _superglobal_ranks(qvecs, vecs, ranks, cfg: EvalConfig):
+    """Refine the top-M of each query with SuperGlobal reranking and
+    splice the reordered shortlist back into the full [db, nq] ranks."""
+    from research_image_retrieval_tpu.index import (
+        search_topk,
+        superglobal_rerank,
+    )
+
+    M = min(cfg.sg_m, vecs.shape[0])
+    s, i = map(np.asarray, search_topk(qvecs, vecs, k=M))
+    _, ni = superglobal_rerank(np.asarray(qvecs), np.asarray(vecs), s, i)
+    ranks = np.asarray(ranks).copy()
+    for qi in range(ranks.shape[1]):
+        head = ni[qi]
+        in_head = np.zeros(ranks.shape[0], bool)
+        in_head[head] = True
+        tail = ranks[:, qi][~in_head[ranks[:, qi]]]
+        ranks[:, qi] = np.concatenate([head, tail])
+    return ranks
 
 
 def evaluate_synthetic(model, variables, cfg: EvalConfig):
@@ -148,6 +171,8 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
         )
     gnd = make_synthetic_gnd(labels, q_idx)
     ranks = rank_full(qvecs, vecs)
+    if cfg.superglobal:
+        ranks = _superglobal_ranks(qvecs, vecs, ranks, cfg)
     return compute_map_and_print(
         "roxford5k", "global", "synthetic", ranks, gnd, kappas=list(cfg.kappas)
     )

@@ -16,6 +16,10 @@ from research_image_retrieval_tpu.index.qe import (
     IterativeQueryExpansion,
 )
 from research_image_retrieval_tpu.index.gallery import HybridGallery
+from research_image_retrieval_tpu.index.superglobal import (
+    gem_aggregate,
+    superglobal_rerank,
+)
 from research_image_retrieval_tpu.index.rerank import (
     rerank_shortlist,
     rerank_shortlist_batched,
@@ -27,6 +31,8 @@ from research_image_retrieval_tpu.index.rerank import (
 __all__ = [
     "rerank_shortlist",
     "rerank_shortlist_batched",
+    "superglobal_rerank",
+    "gem_aggregate",
     "make_cvnet_batch_scorer",
     "geometric_verification_score",
     "mutual_nn_matches",

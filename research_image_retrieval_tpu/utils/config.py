@@ -74,6 +74,9 @@ class EvalConfig:
     alpha_qe: bool = False
     qe_k: int = 10
     qe_alpha: float = 3.0
+    # SuperGlobal-style global-feature reranking (index/superglobal.py)
+    superglobal: bool = False
+    sg_m: int = 100  # shortlist size to refine
 
 
 # Per-model experiment presets: the declarative replacement for the
