@@ -30,6 +30,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="SuperGlobal-style global-feature reranking of the "
                         "top-M shortlist (index/superglobal.py)")
     p.add_argument("--sg-m", type=int, default=100)
+    p.add_argument("--pca-whiten", action="store_true",
+                   help="learn PCA whitening on the gallery, apply both sides")
+    p.add_argument("--pca-dim", type=int, default=0)
+    p.add_argument("--pca-shrinkage", type=float, default=1.0)
+    p.add_argument("--cvnet-rerank", action="store_true",
+                   help="CVNet correlation re-verification of the top-k")
+    p.add_argument("--rerank-k", type=int, default=20)
+    p.add_argument("--rerank-blend", type=float, default=0.5)
+    p.add_argument("--rerank-imsize", type=int, default=224)
+    p.add_argument("--rerank-checkpoint", default=None)
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
     p.add_argument("--output", default=None, help="write results JSON here")
@@ -56,6 +66,14 @@ def main(argv=None):
         qe_alpha=args.qe_alpha,
         superglobal=args.superglobal,
         sg_m=args.sg_m,
+        pca_whiten=args.pca_whiten,
+        pca_dim=args.pca_dim,
+        pca_shrinkage=args.pca_shrinkage,
+        cvnet_rerank=args.cvnet_rerank,
+        rerank_k=args.rerank_k,
+        rerank_blend=args.rerank_blend,
+        rerank_imsize=args.rerank_imsize,
+        rerank_checkpoint=args.rerank_checkpoint,
     )
     results = evaluate(cfg)
     if args.output:

@@ -119,6 +119,8 @@ def evaluate(cfg: EvalConfig):
                                print_freq=100, bucket=bucket)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
                                 print_freq=100, bucket=bucket)
+        if cfg.pca_whiten:
+            vecs, qvecs = _whiten(vecs, qvecs, cfg)
         if cfg.alpha_qe:
             qvecs = np.asarray(
                 alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
@@ -126,10 +128,129 @@ def evaluate(cfg: EvalConfig):
         ranks = rank_full(qvecs, vecs)
         if cfg.superglobal:
             ranks = _superglobal_ranks(qvecs, vecs, ranks, cfg)
+        if cfg.cvnet_rerank:
+            ranks = _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader,
+                                        db_loader, cfg)
         results[dataset] = compute_map_and_print(
             dataset, "global", "test", ranks, ds.gnd, kappas=list(cfg.kappas)
         )
     return results
+
+
+def _whiten(vecs, qvecs, cfg: EvalConfig):
+    """Learn PCA whitening on the GALLERY descriptors and apply to both
+    sides, re-L2-normalizing (reference flow: pcawhitenlearn_shrinkage on
+    index descriptors -> ConvDimReduction, networks/spca.py:205-227)."""
+    from research_image_retrieval_tpu.ops import l2_normalize
+    from research_image_retrieval_tpu.ops.whiten import (
+        apply_whitening,
+        pca_whiten_learn,
+    )
+
+    m, P = pca_whiten_learn(np.asarray(vecs), s=cfg.pca_shrinkage)
+    dim = cfg.pca_dim or None
+    vecs = np.asarray(l2_normalize(apply_whitening(vecs, m, P, out_dim=dim)))
+    qvecs = np.asarray(l2_normalize(apply_whitening(qvecs, m, P, out_dim=dim)))
+    return vecs, qvecs
+
+
+def _splice_ranks(ranks: np.ndarray, heads: np.ndarray) -> np.ndarray:
+    """Put each query's reordered shortlist first, then the remaining
+    gallery in its original rank order.  ``ranks`` is [db, nq]; ``heads``
+    is [nq, k] gallery ids."""
+    ranks = np.asarray(ranks).copy()
+    for qi in range(ranks.shape[1]):
+        head = heads[qi]
+        in_head = np.zeros(ranks.shape[0], bool)
+        in_head[head] = True
+        tail = ranks[:, qi][~in_head[ranks[:, qi]]]
+        ranks[:, qi] = np.concatenate([head, tail])
+    return ranks
+
+
+def _square_images(loader, idxs, size: int) -> np.ndarray:
+    """Load + bilinear-resize images to one [len(idxs), size, size, 3]
+    batch (fixed shapes so featuremap extraction compiles once)."""
+    from research_image_retrieval_tpu.index import resize_bilinear_np
+
+    out = np.empty((len(idxs), size, size, 3), np.float32)
+    for j, i in enumerate(idxs):
+        out[j] = resize_bilinear_np(np.asarray(loader[int(i)]), size, size)
+    return out
+
+
+def _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader, db_loader,
+                        cfg: EvalConfig):
+    """CVNet correlation re-verification of the top-k shortlist.
+
+    Mirrors the reference's cached-featuremap rerank flow
+    (reference: CVNet_Rerank_model.py:64-74) with the batched scorer:
+    featuremaps are extracted once for the queries and the UNION of all
+    shortlisted gallery images, then every (query, candidate) pair scores
+    through one fixed-shape jitted program (index/rerank.py).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from research_image_retrieval_tpu.index import (
+        make_cvnet_batch_scorer,
+        rerank_shortlist_batched,
+        search_topk,
+    )
+    from research_image_retrieval_tpu.models.cvnet import CVNetRerank
+
+    model = CVNetRerank(backbone_name=cfg.rerank_backbone, bn_axis_name=None)
+    S = cfg.rerank_imsize
+    probe = jnp.zeros((1, S, S, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), probe, probe)
+    if cfg.rerank_checkpoint:
+        import orbax.checkpoint as ocp
+
+        from research_image_retrieval_tpu.train.checkpoint import partial_load
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(cfg.rerank_checkpoint)
+        )
+        if "state" in restored:
+            restored = restored["state"]
+        variables, report = partial_load(variables, restored)
+        print(f">> CVNet rerank checkpoint: {len(report['loaded'])} arrays "
+              f"loaded, {len(report['shape_mismatch'])} shape-mismatched")
+
+    k = min(cfg.rerank_k, vecs.shape[0])
+    scores, indices = map(np.asarray, search_topk(qvecs, vecs, k=k))
+
+    fmap_fn = jax.jit(
+        lambda x: model.apply(variables, x, method="extract_featuremap")
+    )
+
+    def fmaps_for(loader, ids):
+        out = None
+        for lo in range(0, len(ids), 8):
+            chunk = ids[lo : lo + 8]
+            imgs = _square_images(loader, chunk, S)
+            pad = 8 - len(chunk)
+            if pad:
+                imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:],
+                                                      np.float32)])
+            f = np.asarray(fmap_fn(jnp.asarray(imgs)))[: len(chunk)]
+            if out is None:
+                out = np.empty((len(ids),) + f.shape[1:], np.float32)
+            out[lo : lo + len(chunk)] = f
+        return out
+
+    q_fmaps = fmaps_for(q_loader, np.arange(len(qvecs)))
+    union = np.unique(indices.reshape(-1))
+    g_fmaps = fmaps_for(db_loader, union)
+    remap = {int(g): j for j, g in enumerate(union)}
+    local_idx = np.vectorize(remap.get)(indices)
+
+    scorer = make_cvnet_batch_scorer(model, variables, q_fmaps, g_fmaps)
+    _, new_local = rerank_shortlist_batched(
+        scores, local_idx, scorer, blend=cfg.rerank_blend
+    )
+    new_global = union[new_local]
+    return _splice_ranks(ranks, new_global)
 
 
 def _superglobal_ranks(qvecs, vecs, ranks, cfg: EvalConfig):
@@ -143,14 +264,7 @@ def _superglobal_ranks(qvecs, vecs, ranks, cfg: EvalConfig):
     M = min(cfg.sg_m, vecs.shape[0])
     s, i = map(np.asarray, search_topk(qvecs, vecs, k=M))
     _, ni = superglobal_rerank(np.asarray(qvecs), np.asarray(vecs), s, i)
-    ranks = np.asarray(ranks).copy()
-    for qi in range(ranks.shape[1]):
-        head = ni[qi]
-        in_head = np.zeros(ranks.shape[0], bool)
-        in_head[head] = True
-        tail = ranks[:, qi][~in_head[ranks[:, qi]]]
-        ranks[:, qi] = np.concatenate([head, tail])
-    return ranks
+    return _splice_ranks(ranks, ni)
 
 
 def evaluate_synthetic(model, variables, cfg: EvalConfig):
@@ -169,6 +283,8 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
         qvecs = np.asarray(
             alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
         )
+    if cfg.pca_whiten:
+        vecs, qvecs = _whiten(vecs, qvecs, cfg)
     gnd = make_synthetic_gnd(labels, q_idx)
     ranks = rank_full(qvecs, vecs)
     if cfg.superglobal:

@@ -77,6 +77,19 @@ class EvalConfig:
     # SuperGlobal-style global-feature reranking (index/superglobal.py)
     superglobal: bool = False
     sg_m: int = 100  # shortlist size to refine
+    # PCA whitening learned on the gallery descriptors (ops/whiten.py,
+    # reference backbone.py:42-58); 0 keeps the native dimension
+    pca_whiten: bool = False
+    pca_dim: int = 0
+    pca_shrinkage: float = 1.0
+    # CVNet correlation-verification reranking of the top-k shortlist
+    # (models/cvnet.py + index/rerank.py batched scorer)
+    cvnet_rerank: bool = False
+    rerank_k: int = 20
+    rerank_blend: float = 0.5
+    rerank_imsize: int = 224
+    rerank_backbone: str = "resnet50"
+    rerank_checkpoint: str | None = None
 
 
 # Per-model experiment presets: the declarative replacement for the

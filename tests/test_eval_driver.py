@@ -87,3 +87,85 @@ def test_evaluate_with_qe(revisited_dir):
     results = evaluate(cfg)
     e, m, h = results["roxford5k"]
     assert 0.0 <= m <= 100.0
+
+
+def test_eval_driver_pca_whiten(tmp_path):
+    """--pca-whiten path: whitening learned on the gallery applies to both
+    sides; reduced dimension flows through ranking end-to-end."""
+    from research_image_retrieval_tpu.evaluation.driver import evaluate
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    cfg = EvalConfig(
+        model="gem_r50",
+        model_overrides={"backbone_name": "resnet18", "outputdim": 16,
+                         "num_classes": 8},
+        datasets=("roxford5k",),
+        data_root=str(tmp_path),  # empty -> synthetic fallback
+        imsize=32,
+        pca_whiten=True,
+        pca_dim=8,
+        pca_shrinkage=0.5,
+    )
+    res = evaluate(cfg)["roxford5k"]
+    assert len(res) == 3
+    for v in res:
+        assert 0.0 <= float(v) <= 100.0
+
+
+def _write_revisited_fixture(root, rng, n_gallery=10, n_query=2, size=48):
+    """Minimal on-disk roxford5k-layout dataset (gnd pkl + jpg dir)."""
+    import pickle
+
+    from PIL import Image
+
+    ds_dir = root / "roxford5k"
+    jpg = ds_dir / "jpg"
+    jpg.mkdir(parents=True)
+    imlist = [f"g{i:02d}" for i in range(n_gallery)]
+    qimlist = [f"q{i}" for i in range(n_query)]
+    # class-colored images so retrieval is non-degenerate
+    for qi, name in enumerate(qimlist):
+        arr = np.full((size, size, 3), 60 + 120 * qi, np.uint8)
+        arr += rng.integers(0, 20, arr.shape, dtype=np.uint8)
+        Image.fromarray(arr, "RGB").save(jpg / f"{name}.jpg")
+    gnd = []
+    for qi in range(n_query):
+        easy = [qi * 3, qi * 3 + 1]
+        for g in easy:
+            arr = np.full((size, size, 3), 60 + 120 * qi, np.uint8)
+            arr += rng.integers(0, 20, arr.shape, dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(jpg / f"{imlist[g]}.jpg")
+        gnd.append({"easy": easy, "hard": [qi * 3 + 2], "junk": [],
+                    "bbx": [4, 4, size - 4, size - 4]})
+    for i in range(n_gallery):
+        p = jpg / f"{imlist[i]}.jpg"
+        if not p.exists():
+            arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+            Image.fromarray(arr, "RGB").save(p)
+    with open(ds_dir / "gnd_roxford5k.pkl", "wb") as f:
+        pickle.dump({"imlist": imlist, "qimlist": qimlist, "gnd": gnd}, f)
+
+
+def test_eval_driver_real_dataset_with_cvnet_rerank(tmp_path, rng):
+    """The REAL-dataset path end-to-end: on-disk gnd + jpgs -> bucketed
+    extraction -> ranking -> CVNet correlation rerank -> E/M/H mAP."""
+    from research_image_retrieval_tpu.evaluation.driver import evaluate
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    _write_revisited_fixture(tmp_path, rng)
+    cfg = EvalConfig(
+        model="gem_r50",
+        model_overrides={"backbone_name": "resnet18", "outputdim": 16,
+                         "num_classes": 8},
+        datasets=("roxford5k",),
+        data_root=str(tmp_path),
+        imsize=48,
+        cvnet_rerank=True,
+        rerank_k=4,
+        rerank_imsize=48,
+        rerank_backbone="resnet18",
+    )
+    res = evaluate(cfg)["roxford5k"]
+    assert len(res) == 3
+    for v in res:
+        assert 0.0 <= float(v) <= 100.0
