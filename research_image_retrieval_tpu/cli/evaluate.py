@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--rerank-blend", type=float, default=0.5)
     p.add_argument("--rerank-imsize", type=int, default=224)
     p.add_argument("--rerank-checkpoint", default=None)
+    p.add_argument("--local-rerank", action="store_true",
+                   help="DELG local-feature affine-RANSAC reranking "
+                        "(delg-family models)")
+    p.add_argument("--lr-top-attn", type=int, default=128)
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
     p.add_argument("--output", default=None, help="write results JSON here")
@@ -74,6 +78,8 @@ def main(argv=None):
         rerank_blend=args.rerank_blend,
         rerank_imsize=args.rerank_imsize,
         rerank_checkpoint=args.rerank_checkpoint,
+        local_rerank=args.local_rerank,
+        lr_top_attn=args.lr_top_attn,
     )
     results = evaluate(cfg)
     if args.output:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from research_image_retrieval_tpu.data import (
@@ -131,6 +132,9 @@ def evaluate(cfg: EvalConfig):
         if cfg.cvnet_rerank:
             ranks = _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader,
                                         db_loader, cfg)
+        if cfg.local_rerank:
+            ranks = _local_rerank_ranks(model, variables, qvecs, vecs,
+                                        ranks, q_loader, db_loader, cfg)
         results[dataset] = compute_map_and_print(
             dataset, "global", "test", ranks, ds.gnd, kappas=list(cfg.kappas)
         )
@@ -189,9 +193,6 @@ def _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader, db_loader,
     shortlisted gallery images, then every (query, candidate) pair scores
     through one fixed-shape jitted program (index/rerank.py).
     """
-    import jax
-    import jax.numpy as jnp
-
     from research_image_retrieval_tpu.index import (
         make_cvnet_batch_scorer,
         rerank_shortlist_batched,
@@ -251,6 +252,79 @@ def _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader, db_loader,
     )
     new_global = union[new_local]
     return _splice_ranks(ranks, new_global)
+
+
+def _local_rerank_ranks(model, variables, qvecs, vecs, ranks, q_loader,
+                        db_loader, cfg: EvalConfig):
+    """DELG-style local-feature geometric reranking.
+
+    Locals + attention are extracted once for queries and the union of
+    shortlisted gallery images (fixed square resize -> one compile); per
+    pair, the top-attention locals go through mutual-NN matching +
+    affine-RANSAC (index/rerank.py) and the inlier count reorders the
+    shortlist above the non-verified tail (the reference's intended DELG
+    flow — models/delg.py:109-124 exposes the locals but the rerank stage
+    was never built there).
+    """
+    from research_image_retrieval_tpu.index import (
+        geometric_verification_score,
+        rerank_shortlist_batched,
+        search_topk,
+    )
+
+    S = cfg.rerank_imsize
+
+    local_fn = jax.jit(
+        lambda x: model.apply(variables, x, method="extract_local")
+    )
+    # derive the local-feature grid from the model itself (stride varies
+    # by backbone/dilation) — square inputs give a square grid
+    n_locals = jax.eval_shape(
+        local_fn, jax.ShapeDtypeStruct((1, S, S, 3), jnp.float32)
+    )[1].shape[1]
+    grid = int(round(n_locals ** 0.5))
+
+    def locals_for(loader, ids, top):
+        descs, coords = [], []
+        yy, xx = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+        all_coords = np.stack([yy.ravel(), xx.ravel()], 1).astype(np.float32)
+        for lo in range(0, len(ids), 8):
+            chunk = ids[lo : lo + 8]
+            imgs = _square_images(loader, chunk, S)
+            pad = 8 - len(chunk)
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], np.float32)]
+                )
+            lf, att = map(np.asarray, local_fn(jnp.asarray(imgs)))
+            for b in range(len(chunk)):
+                keep = np.argsort(-att[b])[:top]
+                descs.append(lf[b][keep])
+                coords.append(all_coords[keep])
+        return descs, coords
+
+    k = min(cfg.rerank_k, vecs.shape[0])
+    scores, indices = map(np.asarray, search_topk(qvecs, vecs, k=k))
+    q_desc, q_xy = locals_for(q_loader, np.arange(len(qvecs)),
+                              cfg.lr_top_attn)
+    union = np.unique(indices.reshape(-1))
+    g_desc, g_xy = locals_for(db_loader, union, cfg.lr_top_attn)
+    remap = {int(g): j for j, g in enumerate(union)}
+    local_idx = np.vectorize(remap.get)(indices)
+
+    def scorer(qids, gids):
+        out = np.empty(len(qids), np.float32)
+        for n, (qi, gi) in enumerate(zip(qids, gids)):
+            inliers = geometric_verification_score(
+                q_desc[qi], q_xy[qi], g_desc[gi], g_xy[gi]
+            )
+            out[n] = inliers / float(cfg.lr_top_attn)
+        return out
+
+    _, new_local = rerank_shortlist_batched(
+        scores, local_idx, scorer, blend=cfg.rerank_blend
+    )
+    return _splice_ranks(ranks, union[new_local])
 
 
 def _superglobal_ranks(qvecs, vecs, ranks, cfg: EvalConfig):

@@ -90,6 +90,10 @@ class EvalConfig:
     rerank_imsize: int = 224
     rerank_backbone: str = "resnet50"
     rerank_checkpoint: str | None = None
+    # DELG local-feature geometric (affine-RANSAC) reranking: requires the
+    # evaluated model to expose extract_local (the delg family)
+    local_rerank: bool = False
+    lr_top_attn: int = 128  # keep this many highest-attention locals
 
 
 # Per-model experiment presets: the declarative replacement for the

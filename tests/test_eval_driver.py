@@ -169,3 +169,28 @@ def test_eval_driver_real_dataset_with_cvnet_rerank(tmp_path, rng):
     assert len(res) == 3
     for v in res:
         assert 0.0 <= float(v) <= 100.0
+
+
+def test_eval_driver_delg_local_rerank(tmp_path, rng):
+    """DELG local-feature affine-RANSAC reranking end-to-end on the
+    real-dataset path."""
+    from research_image_retrieval_tpu.evaluation.driver import evaluate
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    _write_revisited_fixture(tmp_path, rng)
+    cfg = EvalConfig(
+        model="delg_r50",
+        model_overrides={"backbone_name": "resnet18", "outputdim": 16,
+                         "local_dim": 8, "num_classes": 8},
+        datasets=("roxford5k",),
+        data_root=str(tmp_path),
+        imsize=48,
+        local_rerank=True,
+        rerank_k=4,
+        rerank_imsize=48,
+        lr_top_attn=6,
+    )
+    res = evaluate(cfg)["roxford5k"]
+    assert len(res) == 3
+    for v in res:
+        assert 0.0 <= float(v) <= 100.0
