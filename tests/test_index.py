@@ -25,7 +25,11 @@ def make_clusters(rng, n_classes=10, per_class=20, dim=32, noise=0.4):
 
 
 class TestAlphaQE:
-    def test_improves_map_on_clusters(self, rng):
+    def test_improves_map_on_clusters(self):
+        # local deterministic rng: the session fixture's stream position
+        # depends on suite composition, and this improvement margin is
+        # data-sensitive (same fix as tests/test_token_ema.py)
+        rng = np.random.default_rng(7)
         gallery, labels = make_clusters(rng, noise=0.8)
         q_idx = np.arange(0, len(labels), 20)
         queries = gallery[q_idx]
