@@ -62,7 +62,10 @@ def _extract_1024_ms3(get_model, timed_slope):
     from research_image_retrieval_tpu.index import multiscale_descriptor
 
     model = get_model("gem_r50", num_classes=1024, dtype=jnp.bfloat16)
-    batch, size = 8, 1024
+    # batch sweep on-chip (BENCH.md): ms3 throughput peaks at SMALL batch
+    # (253 img/s @ b2-4 vs 218 @ b8-16 — the 724px scale tiles worse at
+    # larger batch), unlike single-scale 1024 which peaks near b16-32
+    batch, size = 4, 1024
     images = jnp.asarray(
         np.random.default_rng(1).standard_normal((batch, size, size, 3)),
         jnp.bfloat16,
