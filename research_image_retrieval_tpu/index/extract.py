@@ -152,14 +152,30 @@ def _run_buckets_masked(
     tasks: list[tuple[int, np.ndarray]],
     bucket: int,
     batch_size: int,
+    mesh=None,
 ) -> list[tuple[int, np.ndarray]]:
     """Run (owner, image) tasks through the bucketed masked extractor.
 
     Returns (owner, descriptor) pairs.  Each distinct (bucket shape) pair
     compiles once: the batch axis is fixed at ``batch_size`` (tail chunks
-    are padded with zero images whose outputs are dropped).
+    are padded with zero images whose outputs are dropped).  With a
+    ``mesh``, batches shard over its 'data' axis (ICI data-parallel index
+    building) and the batch size rounds up to a multiple of that axis.
     """
-    jitted = jax.jit(extract_fn)
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dsize = mesh.shape["data"]
+        batch_size = -(-batch_size // dsize) * dsize
+        in_sh = NamedSharding(mesh, PartitionSpec("data"))
+        put = lambda x: jax.device_put(jnp.asarray(x), in_sh)
+        jitted = jax.jit(
+            extract_fn,
+            out_shardings=NamedSharding(mesh, PartitionSpec()),
+        )
+    else:
+        jitted = jax.jit(extract_fn)
     buckets: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
     q = lambda v: int(math.ceil(v / bucket) * bucket)
     for owner, img in tasks:
@@ -176,9 +192,7 @@ def _run_buckets_masked(
             for k, (_, img) in enumerate(chunk):
                 batch[k, : img.shape[0], : img.shape[1]] = img
                 extents[k] = img.shape[:2]
-            vecs = np.asarray(
-                jitted(jnp.asarray(batch), jnp.asarray(extents))
-            )
+            vecs = np.asarray(jitted(put(batch), put(extents)))
             out.extend((owner, vecs[k]) for k, (owner, _) in enumerate(chunk))
     return out
 
@@ -191,6 +205,7 @@ def extract_vectors(
     print_freq: int = 0,
     bucket: int | None = 32,
     batch_size: int = 8,
+    mesh=None,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -213,6 +228,8 @@ def extract_vectors(
       outputdim: optional expected descriptor dim (for empty input).
       bucket: resolution quantum in pixels, or None for exact shapes.
       batch_size: fixed device batch per bucket (tail chunks are padded).
+      mesh: optional ``jax.sharding.Mesh`` — batches shard over its
+        'data' axis for multi-chip index building (bucketed mode only).
 
     Returns:
       [N, D] numpy array of descriptors in input order.
@@ -231,7 +248,8 @@ def extract_vectors(
     for i, img in enumerate(imgs):
         tasks.extend(_scale_tasks(i, img, scales))
 
-    results = _run_buckets_masked(extract_fn, tasks, bucket, batch_size)
+    results = _run_buckets_masked(extract_fn, tasks, bucket, batch_size,
+                                  mesh=mesh)
 
     single = len(scales) == 1 and scales[0] == 1.0
     if single:

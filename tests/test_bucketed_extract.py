@@ -56,3 +56,29 @@ def test_multiscale_bucketed_equals_exact():
             multiscale_descriptor(extract, jnp.asarray(img)[None], scales)
         )[0]
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=2e-5)
+
+
+def test_mesh_sharded_extraction_matches_single_device(rng):
+    """Data-parallel bucketed extraction over the 8-device mesh equals the
+    single-device path bit-for-bit (same program, sharded batch)."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+    from research_image_retrieval_tpu.parallel import make_mesh
+
+    model = get_model("gem_r50", backbone_name="resnet18", outputdim=16,
+                      num_classes=4, bn_axis_name=None)
+    im0 = rng.standard_normal((40, 40, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im0[None]),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    fn = lambda x, valid_hw: model.apply(variables, x, valid_hw,
+                                         method="extract")
+    images = [rng.standard_normal((40 + 3 * i, 40, 3)).astype(np.float32)
+              for i in range(6)]
+
+    single = extract_vectors(fn, images, bucket=32, batch_size=8)
+    mesh = make_mesh(data=8, model=1)
+    sharded = extract_vectors(fn, images, bucket=32, batch_size=8, mesh=mesh)
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
