@@ -176,7 +176,7 @@ def approx_streaming_topk(
     """
     N = jnp.asarray(gallery).shape[0]
     if chunk is None:
-        chunk = min(max(-(-N // 4), 8192), N)  # ~4 chunks, BW-optimal
+        chunk = min(max(-(-N // 2), 8192), N)  # ~2 chunks: med-best on-chip
     select = lambda scores, kk: jax.lax.approx_max_k(
         scores, kk, recall_target=recall_target
     )
@@ -198,5 +198,7 @@ def streaming_topk(queries, gallery, k: int = 100, chunk: int | None = None,
         return approx_streaming_topk(queries, gallery, k=k, chunk=chunk)
     if chunk is None:
         N = jnp.asarray(gallery).shape[0]
-        chunk = min(max(-(-N // 4), 8192), N) if on_tpu else 4096
+        # exact selection prefers smaller chunks than the approx path
+        # (~N/8 med-best on-chip: less VMEM pressure per grouped select)
+        chunk = min(max(-(-N // 8), 8192), N) if on_tpu else 4096
     return scan_streaming_topk(queries, gallery, k=k, chunk=chunk)
