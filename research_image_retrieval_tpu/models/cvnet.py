@@ -29,8 +29,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
-from research_image_retrieval_tpu.ops import gem_pool, l2_normalize
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
+from research_image_retrieval_tpu.ops import gem_pool, hw_mask, l2_normalize
 
 __all__ = ["CVNetRerank", "CVLearner", "CenterPivotConv4d"]
 
@@ -179,11 +179,11 @@ class CVNetRerank(nn.Module):
         return self.score_from_featuremaps(q_fmap, k_fmap)
 
     def extract(self, img, valid_hw=None):
-        """Global descriptor from the frozen encoder (stage-5 GeM)."""
+        """Global descriptor from the frozen encoder (stage-5 GeM);
+        ``valid_hw`` = [B, 2] extents for bucketed extraction."""
+        f5 = self.encoder(img, train=False, valid_hw=valid_hw)[5]
+        mask = None
         if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        f5 = self.encoder(img, train=False)[5]
-        return l2_normalize(gem_pool(f5, p=3.0))
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(f5.shape[1], f5.shape[2], ext)
+        return l2_normalize(gem_pool(f5, p=3.0, valid_hw=mask))

@@ -19,26 +19,37 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, l2_normalize
+from research_image_retrieval_tpu.ops import cross_entropy, hw_mask, l2_normalize
 
 __all__ = ["SoSNetModel", "second_order_pool"]
 
 
-def second_order_pool(x: jnp.ndarray) -> jnp.ndarray:
+def second_order_pool(x: jnp.ndarray, valid_hw=None) -> jnp.ndarray:
     """Upper-triangular covariance descriptor of an NHWC map.
 
     x: [B, H, W, C] -> [B, C*(C+1)/2], L2-normalized
-    (reference: models/sosnet.py:27-55).
+    (reference: models/sosnet.py:27-55).  ``valid_hw``: optional [B, H, W]
+    mask restricting the covariance to real (non-padded) positions —
+    masked mean/centering/normalization give the exact-shape result on
+    the valid tokens.
     """
     B, H, W, C = x.shape
     n = H * W
-    tokens = x.reshape(B, n, C)
-    centered = tokens - jnp.mean(tokens, axis=1, keepdims=True)
+    tokens = x.reshape(B, n, C).astype(jnp.float32)
+    if valid_hw is None:
+        centered = tokens - jnp.mean(tokens, axis=1, keepdims=True)
+        denom = max(n - 1, 1)
+    else:
+        m = valid_hw.astype(jnp.float32).reshape(B, n, 1)
+        cnt = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+        mean = jnp.sum(tokens * m, axis=1, keepdims=True) / cnt
+        centered = (tokens - mean) * m  # zero pad tokens out of the cov
+        denom = jnp.maximum(cnt[:, 0] - 1.0, 1.0)  # [B, 1]
     cov = jnp.einsum(
         "bnc,bnd->bcd", centered, centered, preferred_element_type=jnp.float32
-    ) / max(n - 1, 1)
+    ) / (denom if valid_hw is None else denom[:, :, None])
     iu = np.triu_indices(C)
     flat = cov[:, iu[0], iu[1]]
     return l2_normalize(flat, axis=-1)
@@ -72,14 +83,20 @@ class SoSNetModel(nn.Module):
         self.drop = nn.Dropout(self.dropout)
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _features(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
+    def _features(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
         if self.use_attention:
             a = nn.relu(self.attn_fc1(fmap))
             a = nn.relu(self.attn_fc2(a))
             a = jax.nn.sigmoid(self.attn_fc3(a))  # [B, H, W, 1]
             fmap = fmap * a
-        so = second_order_pool(self.so_proj(fmap))
+        # so_proj's bias leaks into pad positions; the masked covariance
+        # excludes them exactly
+        so = second_order_pool(self.so_proj(fmap), valid_hw=mask)
         h = nn.relu(self.proj_fc1(so))
         h = self.drop(h, deterministic=not train)
         return self.proj_fc2(h)
@@ -90,12 +107,9 @@ class SoSNetModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._features(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._features(x, train=False, valid_hw=valid_hw))
 
 
 register_model(

@@ -109,3 +109,43 @@ def test_masked_bucket_equals_exact(case_name, overrides):
         diff = float(np.abs(masked[i] - exact[i]).max())
         assert diff <= 2e-5, f"{case_name} image {i}: max diff {diff}"
         assert np.all(np.isfinite(masked[i]))
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("sosnet_r50", dict(outputdim=24, second_order_dim=12)),
+    ("cvnet_global", {}),
+])
+def test_masked_equals_exact_round2_models(name, kw, rng):
+    """Round-2 masked-extraction additions: SoSNet (masked covariance) and
+    the CVNet global path."""
+    import jax
+
+    if name == "cvnet_global":
+        from research_image_retrieval_tpu.models.cvnet import CVNetRerank
+
+        model = CVNetRerank(backbone_name="resnet18", bn_axis_name=None)
+        im = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(im),
+                               jnp.asarray(im))
+    else:
+        from research_image_retrieval_tpu.models import get_model
+
+        model = get_model(name, backbone_name="resnet18", num_classes=4,
+                          bn_axis_name=None, **kw)
+        im = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(im),
+            labels=jnp.zeros((1,), jnp.int32), train=False,
+        )
+
+    x = rng.standard_normal((1, 44, 36, 3)).astype(np.float32)
+    exact = np.asarray(
+        model.apply(variables, jnp.asarray(x), method="extract")
+    )
+    padded = np.zeros((1, 64, 64, 3), np.float32)
+    padded[:, :44, :36] = x
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(padded),
+                    jnp.asarray([[44, 36]]), method="extract")
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
