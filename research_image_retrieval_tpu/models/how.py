@@ -24,17 +24,24 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    cross_entropy,
+    l2_normalize,
+    token_mask as make_token_mask,
+)
 
 __all__ = ["HOWModel", "vlad_aggregate", "asmk_aggregate"]
 
 
-def vlad_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, alpha: float = 100.0):
+def vlad_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, alpha: float = 100.0,
+                   mask: jnp.ndarray | None = None):
     """Soft-assignment VLAD (reference semantics: how_vlad.py:30-58).
 
-    x: [B, N, D] local descriptors; centroids: [K, D].
+    x: [B, N, D] local descriptors; centroids: [K, D]; ``mask``: optional
+    [B, N] token validity (padded-bucket extraction) — masked tokens
+    contribute nothing to the aggregation.
     Returns L2-normalized [B, K*D].
     """
     B, N, D = x.shape
@@ -48,6 +55,8 @@ def vlad_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, alpha: float = 100.0)
     )
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     assign = jax.nn.softmax(-alpha * dist, axis=2)  # [B, N, K]
+    if mask is not None:
+        assign = assign * mask.astype(assign.dtype)[..., None]
     # sum_n a[n,k] * (x[n] - c[k]) = (a^T x)[k] - (sum_n a[n,k]) c[k]
     ax = jnp.einsum("bnk,bnd->bkd", assign, x,
                     preferred_element_type=jnp.float32)
@@ -56,13 +65,16 @@ def vlad_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, alpha: float = 100.0)
     return l2_normalize(vlad.reshape(B, K * D), axis=-1)
 
 
-def asmk_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, weights: jnp.ndarray):
+def asmk_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, weights: jnp.ndarray,
+                   mask: jnp.ndarray | None = None):
     """Selective match-kernel aggregation (reference semantics:
     how_vlad.py:75-104), vectorized.
 
     Each token is hard-assigned to its nearest centroid; tokens whose
     min-distance exceeds mean+std (per image) are dropped; each kept token
-    adds its cluster's learnable weight.  Returns L2-normalized [B, K].
+    adds its cluster's learnable weight.  ``mask``: optional [B, N] token
+    validity — the mean/std threshold and the counts run over valid
+    tokens only.  Returns L2-normalized [B, K].
     """
     d2 = (
         jnp.sum(x**2, -1, keepdims=True)
@@ -76,13 +88,23 @@ def asmk_aggregate(x: jnp.ndarray, centroids: jnp.ndarray, weights: jnp.ndarray)
     # unbiased std like torch.std (reference: how_vlad.py:89); a single
     # token (N=1) would be 0/0 — degenerate case keeps everything
     n_tokens = min_d.shape[1]
-    std = (
-        jnp.std(min_d, 1, keepdims=True, ddof=1)
-        if n_tokens > 1
-        else jnp.zeros((min_d.shape[0], 1), min_d.dtype)
-    )
-    thresh = jnp.mean(min_d, 1, keepdims=True) + std
-    keep = (min_d < thresh).astype(jnp.float32)  # [B, N]
+    if mask is None:
+        std = (
+            jnp.std(min_d, 1, keepdims=True, ddof=1)
+            if n_tokens > 1
+            else jnp.zeros((min_d.shape[0], 1), min_d.dtype)
+        )
+        thresh = jnp.mean(min_d, 1, keepdims=True) + std
+        keep = (min_d < thresh).astype(jnp.float32)  # [B, N]
+    else:
+        m = mask.astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(m, 1, keepdims=True), 1.0)
+        mean = jnp.sum(min_d * m, 1, keepdims=True) / cnt
+        var = jnp.sum(m * (min_d - mean) ** 2, 1, keepdims=True) / jnp.maximum(
+            cnt - 1.0, 1.0
+        )
+        thresh = mean + jnp.sqrt(var)
+        keep = ((min_d < thresh).astype(jnp.float32)) * m
     one_hot = jax.nn.one_hot(nearest, centroids.shape[0], dtype=jnp.float32)
     counts = jnp.einsum("bn,bnk->bk", keep, one_hot,
                         preferred_element_type=jnp.float32)
@@ -125,18 +147,24 @@ class HOWModel(nn.Module):
         self.final_proj = nn.Dense(self.outputdim, name="final_proj")
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _locals(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
+    def _locals(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
         loc = self.local_proj(fmap)
         B, H, W, D = loc.shape
-        return l2_normalize(loc.reshape(B, H * W, D), axis=-1)
+        tmask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            tmask = make_token_mask(H, W, ext)
+        return l2_normalize(loc.reshape(B, H * W, D), axis=-1), tmask
 
-    def _features(self, x, train: bool):
-        loc = self._locals(x, train)
+    def _features(self, x, train: bool, valid_hw=None):
+        loc, tmask = self._locals(x, train, valid_hw=valid_hw)
         if self.pooling_type == "vlad":
-            pooled = vlad_aggregate(loc, self.centroids, self.alpha)
+            pooled = vlad_aggregate(loc, self.centroids, self.alpha,
+                                    mask=tmask)
         else:
-            pooled = asmk_aggregate(loc, self.centroids, self.weights)
+            pooled = asmk_aggregate(loc, self.centroids, self.weights,
+                                    mask=tmask)
         return self.final_proj(pooled)
 
     def __call__(self, x, labels, train: bool = True):
@@ -145,12 +173,10 @@ class HOWModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._features(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._features(x, train=False,
+                                           valid_hw=valid_hw))
 
 
 register_model(

@@ -149,3 +149,39 @@ def test_masked_equals_exact_round2_models(name, kw, rng):
                     jnp.asarray([[44, 36]]), method="extract")
     )
     np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("name,kw", [
+    ("how_vlad_r50", dict(outputdim=24, local_dim=12, num_clusters=6)),
+    ("how_asmk_r50", dict(outputdim=24, local_dim=12, num_clusters=6)),
+    ("spoc_r50", dict(outputdim=24, context_dim=12)),
+])
+def test_masked_equals_exact_how_spoc(name, kw, rng):
+    """HOW (masked VLAD/ASMK token aggregation) and SpoC (dynamic-window
+    masked pyramid incl. torch's extra VALID regions at awkward sizes)."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model(name, backbone_name="resnet18", num_classes=4,
+                      bn_axis_name=None, **kw)
+    im = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+
+    # 196x160 -> stage-5 map 7x5: level-4 windows floor(7/4)=1 emit SEVEN
+    # row-regions in torch VALID semantics — the extra-region case
+    for h, w in [(196, 160), (224, 192)]:
+        x = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+        exact = np.asarray(
+            model.apply(variables, jnp.asarray(x), method="extract")
+        )
+        padded = np.zeros((1, 224, 224, 3), np.float32)
+        padded[:, :h, :w] = x
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(padded),
+                        jnp.asarray([[h, w]]), method="extract")
+        )
+        np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
