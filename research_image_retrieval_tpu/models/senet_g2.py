@@ -15,20 +15,29 @@ import jax
 import jax.numpy as jnp
 
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+from research_image_retrieval_tpu.ops.masking import ceil_half, hw_mask
+from research_image_retrieval_tpu.ops import (
+    avg_pool_all,
+    cross_entropy,
+    gem_pool,
+    l2_normalize,
+)
 
 __all__ = ["SENetG2Model", "SEBottleneck"]
 
 
 class SEBlock(nn.Module):
-    """Squeeze-and-excitation gate (reference: models/senet_g2.py:12-29)."""
+    """Squeeze-and-excitation gate (reference: models/senet_g2.py:12-29).
+
+    ``mask``: optional [B, H, W] validity — the squeeze mean runs over
+    real pixels only (padded-bucket extraction)."""
 
     reduction: int = 16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         C = x.shape[-1]
-        y = jnp.mean(x, axis=(1, 2))  # [B, C]
+        y = avg_pool_all(x, valid_hw=mask)  # [B, C]
         y = nn.relu(nn.Dense(C // self.reduction, use_bias=False, name="fc1")(y))
         y = jax.nn.sigmoid(nn.Dense(C, use_bias=False, name="fc2")(y))
         return x * y[:, None, None, :]
@@ -43,23 +52,41 @@ class SEBottleneck(nn.Module):
     bn_axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, extents=None):
         out_ch = self.width * 4
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             axis_name=self.bn_axis_name if train else None, name=name,
         )
+
+        def remask(y, ext):
+            if ext is None:
+                return y
+            return y * hw_mask(y.shape[1], y.shape[2], ext,
+                               dtype=y.dtype)[..., None]
+
         idt = x
         y = nn.relu(norm("bn1")(nn.Conv(self.width, (1, 1), use_bias=False,
                                         name="conv1")(x)))
+        # BN bias leaks into the pad region; re-zero before the only
+        # spatial conv so its boundary reads are exact zero padding
+        y = remask(y, extents)
         y = nn.relu(
             norm("bn2")(
                 nn.Conv(self.width, (3, 3), strides=(self.stride,) * 2,
                         padding=1, use_bias=False, name="conv2")(y)
             )
         )
+        out_ext = (
+            ceil_half(extents)
+            if extents is not None and self.stride == 2 else extents
+        )
         y = norm("bn3")(nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y))
-        y = SEBlock(self.reduction, name="se")(y)
+        se_mask = (
+            None if out_ext is None
+            else hw_mask(y.shape[1], y.shape[2], out_ext)
+        )
+        y = SEBlock(self.reduction, name="se")(y, mask=se_mask)
         if idt.shape[-1] != out_ch or self.stride != 1:
             idt = norm("down_bn")(
                 nn.Conv(out_ch, (1, 1), strides=(self.stride,) * 2,
@@ -108,14 +135,35 @@ class SENetG2Model(nn.Module):
         self.feature_proj = nn.Dense(self.outputdim, name="feature_proj")
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _features(self, x, train: bool):
+    def _features(self, x, train: bool, valid_hw=None):
+        ext = None
+        if valid_hw is not None:
+            ext = jnp.asarray(valid_hw, jnp.int32)
+            x = x * hw_mask(x.shape[1], x.shape[2], ext,
+                            dtype=x.dtype)[..., None]
         y = self.stem_bn(self.stem_conv(x), use_running_average=not train)
         y = nn.relu(y)
+        if ext is not None:
+            ext = ceil_half(ext)
+            # post-ReLU values are >= 0: zeroed padding can't win the max
+            y = y * hw_mask(y.shape[1], y.shape[2], ext,
+                            dtype=y.dtype)[..., None]
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if ext is not None:
+            ext = ceil_half(ext)
         for block in self.blocks:
-            y = block(y, train=train)
+            y = block(y, train=train, extents=ext)
+            if ext is not None and block.stride == 2:
+                ext = ceil_half(ext)
+        mask = (
+            None if ext is None
+            else hw_mask(y.shape[1], y.shape[2], ext)
+        )
         # G2+ pooling: GeM(learnable p) then learnable affine
-        pooled = self.g2_alpha * gem_pool(y, p=self.p_param) + self.g2_beta
+        pooled = (
+            self.g2_alpha * gem_pool(y, p=self.p_param, valid_hw=mask)
+            + self.g2_beta
+        )
         return self.feature_proj(pooled)
 
     def __call__(self, x, labels, train: bool = True):
@@ -124,12 +172,10 @@ class SENetG2Model(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._features(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._features(x, train=False,
+                                           valid_hw=valid_hw))
 
 
 register_model(
