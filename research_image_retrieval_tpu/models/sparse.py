@@ -21,9 +21,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    cross_entropy,
+    gem_pool,
+    hw_mask,
+    l2_normalize,
+)
 
 __all__ = ["SparseRetrievalModel", "AdaptiveSparseEncoder",
            "SemanticPreservingQuantization"]
@@ -128,9 +133,13 @@ class SparseRetrievalModel(nn.Module):
         self.quant = SemanticPreservingQuantization(self.outputdim)
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _encode(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
-        feat = self.proj(gem_pool(fmap, p=3.0))
+    def _encode(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
+        feat = self.proj(gem_pool(fmap, p=3.0, valid_hw=mask))
         sp = self.sparse(feat)
         q = self.quant(sp["sparse_features"])
         return q["quantized_features"], sp, q
@@ -146,12 +155,9 @@ class SparseRetrievalModel(nn.Module):
         return loss, logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        feat, _, _ = self._encode(x, train=False)
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        feat, _, _ = self._encode(x, train=False, valid_hw=valid_hw)
         return l2_normalize(feat)
 
 

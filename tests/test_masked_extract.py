@@ -210,3 +210,28 @@ def test_masked_equals_exact_senet_g2(rng):
                     jnp.asarray([[44, 36]]), method="extract")
     )
     np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_sparse(rng):
+    """SPARSE prototype: masked GeM feeding the sparse/quantized encoder
+    (all post-pool ops are per-vector)."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("sparse_r50", backbone_name="resnet18", outputdim=24,
+                      num_classes=4, bn_axis_name=None)
+    im = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    x = rng.standard_normal((1, 44, 36, 3)).astype(np.float32)
+    exact = np.asarray(model.apply(variables, jnp.asarray(x), method="extract"))
+    padded = np.zeros((1, 64, 64, 3), np.float32)
+    padded[:, :44, :36] = x
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(padded),
+                    jnp.asarray([[44, 36]]), method="extract")
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
