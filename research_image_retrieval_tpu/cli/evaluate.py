@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from research_image_retrieval_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     from research_image_retrieval_tpu.evaluation.driver import evaluate
     from research_image_retrieval_tpu.utils.config import EvalConfig
 

@@ -50,6 +50,12 @@ def _iter_image_files(root: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from research_image_retrieval_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     import numpy as np
 
     from research_image_retrieval_tpu.data.eval_loader import ImageFromList

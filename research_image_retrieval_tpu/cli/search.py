@@ -32,6 +32,12 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from research_image_retrieval_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
+
     import numpy as np
 
     from research_image_retrieval_tpu.index import alpha_query_expansion

@@ -62,6 +62,12 @@ def config_from_args(args) -> TrainConfig:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    from research_image_retrieval_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    enable_persistent_cache()
     if args.list_presets:
         for name in sorted(PRESETS):
             print(name)
