@@ -72,7 +72,7 @@ def _load_model(cfg: EvalConfig, num_classes: int = 81313):
     return model, variables
 
 
-def _make_extract_fn(model, variables):
+def _make_extract_fn(model, variables, bucket: int = 128):
     """Extraction fn + bucket mode for ``extract_vectors``.
 
     Probes (via abstract evaluation, no compute) whether the model's
@@ -80,8 +80,6 @@ def _make_extract_fn(model, variables):
     masked extraction is used (O(buckets) compiles on aspect-preserving
     datasets), otherwise exact-shape grouping.
     """
-    import jax.numpy as jnp
-
     masked = lambda x, valid_hw: model.apply(
         variables, x, valid_hw, method="extract"
     )
@@ -91,7 +89,7 @@ def _make_extract_fn(model, variables):
             jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         )
-        return masked, 32
+        return masked, bucket
     except Exception:
         return (lambda x: model.apply(variables, x, method="extract")), None
 
@@ -99,7 +97,7 @@ def _make_extract_fn(model, variables):
 def evaluate(cfg: EvalConfig):
     """Evaluate on the configured Revisited datasets; returns result dict."""
     model, variables = _load_model(cfg)
-    extract, bucket = _make_extract_fn(model, variables)
+    extract, bucket = _make_extract_fn(model, variables, bucket=cfg.bucket)
 
     results = {}
     for dataset in cfg.datasets:
@@ -348,7 +346,7 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
         image_size=min(cfg.imsize, 128), seed=7,
     )
     imgs, labels = ds.as_arrays()
-    extract, bucket = _make_extract_fn(model, variables)
+    extract, bucket = _make_extract_fn(model, variables, bucket=cfg.bucket)
     vecs = extract_vectors(extract, list(imgs), scales=cfg.multiscale,
                            bucket=bucket)
     q_idx = np.arange(0, len(ds), 8)

@@ -69,6 +69,11 @@ class EvalConfig:
     data_root: str = ""
     imsize: int = 1024
     multiscale: tuple = (1.0,)  # or (1.0, 2**-0.5, 0.5)
+    # resolution-bucket quantum for masked extraction: coarser buckets =
+    # fewer XLA compiles, more padded compute.  128 with max-side-1024
+    # thumbnails caps distinct buckets at ~8 per scale (the max side is
+    # always exactly imsize, only the short side varies)
+    bucket: int = 128
     checkpoint: str | None = None
     kappas: tuple = (1, 5, 10)
     alpha_qe: bool = False
