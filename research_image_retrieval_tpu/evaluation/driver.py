@@ -202,6 +202,9 @@ def _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader, db_loader,
     S = cfg.rerank_imsize
     probe = jnp.zeros((1, S, S, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), probe, probe)
+    if not cfg.rerank_checkpoint:
+        print(">> WARNING: CVNet reranker running from RANDOM init "
+              "(no --rerank-checkpoint) — scores are untrained")
     if cfg.rerank_checkpoint:
         import orbax.checkpoint as ocp
 
@@ -270,6 +273,11 @@ def _local_rerank_ranks(model, variables, qvecs, vecs, ranks, q_loader,
         search_topk,
     )
 
+    if not hasattr(model, "extract_local"):
+        raise ValueError(
+            f"--local-rerank needs a model exposing extract_local (the "
+            f"delg family); {cfg.model} does not"
+        )
     S = cfg.rerank_imsize
 
     local_fn = jax.jit(
