@@ -23,9 +23,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    avg_pool_all,
+    cross_entropy,
+    hw_mask,
+    l2_normalize,
+)
 
 __all__ = ["IRISModel", "iris_loss"]
 
@@ -39,22 +44,52 @@ class ORACLE(nn.Module):
     num_heads: int = 4
 
     @nn.compact
-    def __call__(self, fmap, deterministic: bool = True):
+    def __call__(self, fmap, deterministic: bool = True, extents=None):
         B, H, W, C = fmap.shape
+        if extents is not None:
+            # re-zero pad pixels so the 3x3 reads exact zero padding
+            fmap = fmap * hw_mask(H, W, extents, dtype=fmap.dtype)[..., None]
         conv = nn.relu(nn.Conv(512, (3, 3), padding=1, name="conv_reduce")(fmap))
         # AdaptiveAvgPool2d((num_objects, 1)) semantics: bins over the H
         # axis (each averaging the full W), bin i = rows
         # [floor(i*H/O), ceil((i+1)*H/O)) — bins always overlap real rows,
         # so no object slot is ever empty (unlike contiguous zero-padded
         # chunking, which left dead slots when H*W < num_objects * chunk)
-        rows = conv.mean(axis=2)  # [B, H, 512]
-        bins = []
-        for i in range(self.num_objects):
-            lo = (i * H) // self.num_objects
-            hi = -(-(i + 1) * H // self.num_objects)
-            hi = max(hi, lo + 1)
-            bins.append(rows[:, lo:hi].mean(axis=1))
-        obj = jnp.stack(bins, axis=1)  # [B, O, 512]
+        if extents is None:
+            rows = conv.mean(axis=2)  # [B, H, 512]
+            bins = []
+            for i in range(self.num_objects):
+                lo = (i * H) // self.num_objects
+                hi = -(-(i + 1) * H // self.num_objects)
+                hi = max(hi, lo + 1)
+                bins.append(rows[:, lo:hi].mean(axis=1))
+            obj = jnp.stack(bins, axis=1)  # [B, O, 512]
+        else:
+            # masked row means over the true width, then dynamic bins
+            # over the TRUE height (bin boundaries vary per image)
+            h_t = extents[:, 0:1]  # [B, 1]
+            w_t = extents[:, 1:2].astype(conv.dtype)  # [B, 1]
+            cmask = (
+                jnp.arange(W)[None, :] < extents[:, 1][:, None]
+            ).astype(conv.dtype)  # [B, W]
+            rows = jnp.einsum(
+                "bhwc,bw->bhc", conv, cmask,
+                preferred_element_type=jnp.float32,
+            ) / jnp.maximum(w_t, 1.0)[:, :, None]  # [B, H, 512]
+            ridx = jnp.arange(H)[None, :]  # [1, H]
+            bins = []
+            for i in range(self.num_objects):
+                lo = (i * h_t) // self.num_objects  # [B, 1]
+                hi = -(-(i + 1) * h_t // self.num_objects)
+                hi = jnp.maximum(hi, lo + 1)
+                rmask = ((ridx >= lo) & (ridx < hi)).astype(conv.dtype)
+                cnt = jnp.maximum(jnp.sum(rmask, 1, keepdims=True), 1.0)
+                bins.append(
+                    jnp.einsum("bhc,bh->bc", rows, rmask,
+                               preferred_element_type=jnp.float32)
+                    / cnt
+                )
+            obj = jnp.stack(bins, axis=1)  # [B, O, 512]
         obj = nn.Dense(self.output_dim, name="obj_proj")(obj)  # [B, O, D]
 
         attended = nn.MultiHeadDotProductAttention(
@@ -63,8 +98,9 @@ class ORACLE(nn.Module):
         )(obj, obj)
         aggregated = attended.mean(axis=1)  # [B, D]
 
+        gmask = None if extents is None else hw_mask(H, W, extents)
         global_ctx = nn.Dense(self.output_dim, name="context_proj")(
-            fmap.mean(axis=(1, 2))
+            avg_pool_all(fmap, valid_hw=gmask)
         )
         fused = (
             self.context_balance * aggregated
@@ -168,9 +204,12 @@ class IRISModel(nn.Module):
         self.drop = nn.Dropout(self.dropout)
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _features(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
-        f = self.oracle(fmap, deterministic=not train)
+    def _features(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        ext = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+        f = self.oracle(fmap, deterministic=not train, extents=ext)
         f = self.castle(f, deterministic=not train)
         f = self.nexus(f, deterministic=not train)
         f = self.feature_proj(f)
@@ -182,12 +221,10 @@ class IRISModel(nn.Module):
         return iris_loss(logits, feat, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._features(x, train=False))
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        return l2_normalize(self._features(x, train=False,
+                                           valid_hw=valid_hw))
 
 
 register_model(

@@ -235,3 +235,33 @@ def test_masked_equals_exact_sparse(rng):
                     jnp.asarray([[44, 36]]), method="extract")
     )
     np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_iris(rng):
+    """IRIS prototype: masked row means + dynamic adaptive H-bins over the
+    true height, masked global context."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("iris_r50", backbone_name="resnet18", outputdim=32,
+                      num_classes=4, bn_axis_name=None)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    # 76x68 -> stage-5 3x3: fewer rows than the 8 object bins exercises
+    # the hi = max(hi, lo+1) overlap rule dynamically
+    for h, w in [(76, 68), (96, 64)]:
+        x = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+        exact = np.asarray(
+            model.apply(variables, jnp.asarray(x), method="extract")
+        )
+        padded = np.zeros((1, 96, 96, 3), np.float32)
+        padded[:, :h, :w] = x
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(padded),
+                        jnp.asarray([[h, w]]), method="extract")
+        )
+        np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
