@@ -18,10 +18,15 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.layers import Attention
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    cross_entropy,
+    gem_pool,
+    hw_mask,
+    l2_normalize,
+)
 
 __all__ = ["HAMLETModel", "hamlet_loss"]
 
@@ -33,17 +38,26 @@ class CrossScaleAttention(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, scale_feats, deterministic: bool = True):
-        # scale_feats: list of [B, Hi, Wi, dim] (already projected)
+    def __call__(self, scale_feats, deterministic: bool = True,
+                 token_masks=None):
+        # scale_feats: list of [B, Hi, Wi, dim] (already projected);
+        # token_masks: optional list of [B, Hi*Wi] validity masks — padded
+        # tokens are removed from every cross-attention key set
         tokens = [f.reshape(f.shape[0], -1, self.dim) for f in scale_feats]
         outs = []
         for i, t in enumerate(tokens):
             others = jnp.concatenate(
                 [tok for j, tok in enumerate(tokens) if j != i], axis=1
             )
+            key_mask = None
+            if token_masks is not None:
+                key_mask = jnp.concatenate(
+                    [m for j, m in enumerate(token_masks) if j != i], axis=1
+                )
             att = Attention(self.dim, num_heads=4, qkv_bias=True,
                             name=f"cross{i}")(
-                nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(t), others, others, deterministic
+                nn.LayerNorm(epsilon=1e-5, name=f"ln{i}")(t), others, others,
+                deterministic, key_mask=key_mask,
             )
             outs.append(t + att)
         return [
@@ -57,17 +71,22 @@ class ContextEnhancedConv(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             name=name,
         )
+        remask = (
+            (lambda y: y) if mask is None else (lambda y: y * mask[..., None])
+        )
+        # re-zero the pad region before each spatial conv so boundary
+        # reads match the exact-shape run's zero padding
         y = nn.relu(bn("bn1")(nn.Conv(self.dim, (3, 3), padding=1,
-                                      name="conv1")(x)))
+                                      name="conv1")(remask(x))))
         y = nn.relu(
             bn("bn2")(
                 nn.Conv(self.dim, (3, 3), padding=2, kernel_dilation=(2, 2),
-                        name="conv2")(y)
+                        name="conv2")(remask(y))
             )
         )
         return x + y
@@ -122,14 +141,31 @@ class HAMLETModel(nn.Module):
         self.text_head = nn.Dense(self.outputdim, name="text_head")
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _multi_scale(self, x, train: bool):
-        taps = self.backbone(x, train=train)
+    def _multi_scale(self, x, train: bool, valid_hw=None):
+        taps = self.backbone(x, train=train, valid_hw=valid_hw)
         feats = [
             self.scale_projs[i](taps[s]) for i, s in enumerate((3, 4, 5))
         ]
-        feats = self.cross_scale(feats, deterministic=not train)
-        feats = [self.context(f, train=train) for f in feats]
-        descs = [gem_pool(f, p=3.0) for f in feats]  # [B, hidden] each
+        masks = tmasks = None
+        if valid_hw is not None:
+            exts = [stage_extents(valid_hw, s) for s in (3, 4, 5)]
+            masks = [
+                hw_mask(f.shape[1], f.shape[2], e)
+                for f, e in zip(feats, exts)
+            ]
+            tmasks = [m.reshape(m.shape[0], -1) for m in masks]
+        feats = self.cross_scale(feats, deterministic=not train,
+                                 token_masks=tmasks)
+        feats = [
+            self.context(f, train=train,
+                         mask=None if masks is None else masks[i])
+            for i, f in enumerate(feats)
+        ]
+        descs = [
+            gem_pool(f, p=3.0,
+                     valid_hw=None if masks is None else masks[i])
+            for i, f in enumerate(feats)
+        ]  # [B, hidden] each
         fused = self.fusion(jnp.concatenate(descs, axis=-1))
         return fused, descs
 
@@ -144,12 +180,9 @@ class HAMLETModel(nn.Module):
         return loss, logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        fused, _ = self._multi_scale(x, train=False)
+        """L2-normalized descriptor; ``valid_hw`` = [B, 2] input-pixel
+        extents for bucketed variable-resolution extraction."""
+        fused, _ = self._multi_scale(x, train=False, valid_hw=valid_hw)
         return l2_normalize(fused)
 
 

@@ -265,3 +265,28 @@ def test_masked_equals_exact_iris(rng):
                         jnp.asarray([[h, w]]), method="extract")
         )
         np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_hamlet(rng):
+    """HAMLET: masked cross-scale attention keys, context-conv
+    re-masking, masked per-scale GeM."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("hamlet_r50", backbone_name="resnet18", outputdim=32,
+                      hidden=16, num_classes=4, bn_axis_name=None)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    x = rng.standard_normal((1, 76, 68, 3)).astype(np.float32)
+    exact = np.asarray(model.apply(variables, jnp.asarray(x), method="extract"))
+    padded = np.zeros((1, 96, 96, 3), np.float32)
+    padded[:, :76, :68] = x
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(padded),
+                    jnp.asarray([[76, 68]]), method="extract")
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
