@@ -54,12 +54,21 @@ class CDConv(nn.Module):
     delta2: int = 6
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         C = x.shape[-1]
         K = self.kernel_size
 
+        if mask is not None:
+            # padded-bucket extraction: zero the pad region so the dilated
+            # convs below read exact zero padding at the true boundary
+            x = x * mask[..., None]
+
         # eq (1): a_c = sigmoid(sum_k w[k,c] * GAP[(c+k) % C])
-        gap = jnp.mean(x, axis=(1, 2))  # [B, C]
+        if mask is None:
+            gap = jnp.mean(x, axis=(1, 2))  # [B, C]
+        else:
+            cnt = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)[:, None]
+            gap = jnp.sum(x * mask[..., None], axis=(1, 2)) / cnt
         w = self.param(
             "channel_attention_weights",
             lambda key: jax.random.normal(key, (K, C)) / np.sqrt(C),
@@ -99,10 +108,11 @@ class CDConvBlock(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         idt = x
-        y = nn.relu(CDConv(self.features, stride=self.stride, name="cdconv1")(x, train))
-        y = CDConv(self.features, name="cdconv2")(y, train)
+        y = nn.relu(CDConv(self.features, stride=self.stride,
+                           name="cdconv1")(x, train, mask=mask))
+        y = CDConv(self.features, name="cdconv2")(y, train, mask=mask)
         if idt.shape[-1] != self.features or self.stride != 1:
             idt = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
                           use_bias=False, name="down_conv")(idt)
@@ -117,7 +127,9 @@ class MultiScaleContextKernel(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        if mask is not None:
+            x = x * mask[..., None]
         outs = []
         for d in (1, 2, 3):
             outs.append(
@@ -132,6 +144,27 @@ class MultiScaleContextKernel(nn.Module):
         )
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                             epsilon=1e-5, name="bn")(y)
+
+
+def _dynamic_resize_weights(n_out: int, n_in: int, true_out):
+    """Per-image bilinear resize weights [B, n_out, n_in].
+
+    Reproduces ``jax.image.resize(method="bilinear", antialias=True)``
+    from an (n_in)-sample source to each image's TRUE output length
+    ``true_out`` (traced [B] ints), laid out in the first ``true_out``
+    rows of the padded ``n_out`` grid (rows beyond it are zero).
+    """
+    t = true_out.astype(jnp.float32)[:, None, None]  # [B, 1, 1]
+    scale = n_in / t  # inverse scale: out -> in
+    kernel = jnp.maximum(scale, 1.0)  # antialias widens when downscaling
+    i = jnp.arange(n_out, dtype=jnp.float32)[None, :, None]  # [1, n_out, 1]
+    p = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
+    sample = (i + 0.5) * scale - 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(sample - p) / kernel)
+    total = jnp.sum(w, axis=2, keepdims=True)
+    w = jnp.where(jnp.abs(total) > 1e-7, w / jnp.maximum(total, 1e-7), 0.0)
+    valid = (i < t).astype(w.dtype)
+    return w * valid
 
 
 def window_partition(x, ws: int):
@@ -178,13 +211,22 @@ class SCALAAttention(nn.Module):
     use_context_keys: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         B, H, W, C = x.shape
         ws = self.window_size
         h = self.num_heads
         hd = C // h
 
-        context = MultiScaleContextKernel(self.dim, name="mck")(x, train)
+        if mask is not None:
+            # the exact-shape run zero-pads BOTH the tokens and the MCK
+            # context inside window_partition; zeroing the bucket pad
+            # region reproduces those windows bit-for-bit
+            x = x * mask[..., None]
+        context = MultiScaleContextKernel(self.dim, name="mck")(
+            x, train, mask=mask
+        )
+        if mask is not None:
+            context = context * mask[..., None]
         xw, (Hp, Wp) = window_partition(x, ws)  # [nB, N, C]
         cw, _ = window_partition(context, ws)
         N = ws * ws
@@ -231,14 +273,14 @@ class SCALABlock(nn.Module):
     use_context_keys: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
         )
         x = x + SCALAAttention(
             self.dim, self.window_size, self.num_heads,
             use_context_keys=self.use_context_keys, name="attn",
-        )(bn("norm1")(x), train)
+        )(bn("norm1")(x), train, mask=mask)
         hidden = int(self.dim * self.mlp_ratio)
         y = bn("norm2")(x)
         y = nn.Conv(hidden, (1, 1), name="mlp_fc1")(y)
@@ -275,17 +317,28 @@ class AttentionBasedGlobalPooling(nn.Module):
     alpha: float = 2.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         B, H, W, C = x.shape
         g = self.param("gamma", lambda _: jnp.asarray(self.gamma, jnp.float32))
         g = jnp.clip(g, 1e-7, 100.0)
-        dq = jnp.mean(jnp.clip(x, min=1e-7) ** g, axis=(1, 2)) ** (1.0 / g)
+        xg = jnp.clip(x, min=1e-7) ** g
+        if mask is None:
+            dq = jnp.mean(xg, axis=(1, 2)) ** (1.0 / g)
+        else:
+            cnt = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)[:, None]
+            dq = (
+                jnp.sum(xg * mask[..., None], axis=(1, 2)) / cnt
+            ) ** (1.0 / g)
         dq = nn.Dense(self.dim, name="query_proj")(dq)  # [B, C]
 
         tokens = x.reshape(B, H * W, C)
         scores = jnp.einsum(
             "bnc,bc->bn", tokens, dq, preferred_element_type=jnp.float32
         ) / np.sqrt(self.dim)
+        if mask is not None:
+            scores = jnp.where(
+                mask.reshape(B, H * W) > 0, scores, jnp.float32(-1e30)
+            )
         A = jax.nn.softmax(scores, axis=-1)
         weighted = jnp.einsum(
             "bn,bnc->bc", A, tokens, preferred_element_type=jnp.float32
@@ -309,7 +362,11 @@ class ULTRON(nn.Module):
     use_context_keys: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        """``valid_hw``: optional [B, 2] TRUE input extents for bucketed
+        extraction.  CONTRACT: extents (and the padded canvas) must be
+        multiples of 32 — the same constraint the exact-shape model
+        imposes (PatchMerging needs even dims at every stage)."""
         B, H, W, _ = x.shape
         y = nn.Conv(
             self.embed_dims[0], (self.patch_size,) * 2,
@@ -323,26 +380,51 @@ class ULTRON(nn.Module):
             nn.initializers.truncated_normal(0.02),
             (1, pr, pr, self.embed_dims[0]),
         )
-        if y.shape[1:3] != (pr, pr):
-            pos = jax.image.resize(
-                pos, (1, y.shape[1], y.shape[2], self.embed_dims[0]), "bilinear"
-            )
-        y = y + pos
+        if valid_hw is None:
+            if y.shape[1:3] != (pr, pr):
+                pos = jax.image.resize(
+                    pos, (1, y.shape[1], y.shape[2], self.embed_dims[0]),
+                    "bilinear",
+                )
+            y = y + pos
+            ext = None
+        else:
+            # per-image pos-embed interpolation to the TRUE grid, placed
+            # inside the padded canvas (the exact-shape run resizes to
+            # its own grid; rows/cols beyond the true grid get zero)
+            ext = jnp.asarray(valid_hw, jnp.int32) // self.patch_size
+            wh = _dynamic_resize_weights(y.shape[1], pr, ext[:, 0])
+            ww = _dynamic_resize_weights(y.shape[2], pr, ext[:, 1])
+            pos_b = jnp.einsum("bhp,pqc,bwq->bhwc", wh, pos[0], ww,
+                               preferred_element_type=jnp.float32)
+            y = y + pos_b
+
+        from research_image_retrieval_tpu.ops.masking import hw_mask
 
         for i, (dim, depth, heads) in enumerate(
             zip(self.embed_dims, self.depths, self.num_heads)
         ):
             if i > 0:
                 y = PatchMerging(out_dim=dim, name=f"merge{i}")(y)
+                if ext is not None:
+                    # the 32-multiple contract keeps every stage extent
+                    # even, so merging exactly halves it
+                    ext = ext // 2
+            mask = (
+                None if ext is None
+                else hw_mask(y.shape[1], y.shape[2], ext)
+            )
             for j in range(depth):
                 if i < 2:
-                    y = CDConvBlock(dim, name=f"stage{i}_block{j}")(y, train)
+                    y = CDConvBlock(dim, name=f"stage{i}_block{j}")(
+                        y, train, mask=mask
+                    )
                 else:
                     y = SCALABlock(
                         dim, self.window_size, heads, self.mlp_ratio,
                         use_context_keys=self.use_context_keys,
                         name=f"stage{i}_block{j}",
-                    )(y, train)
+                    )(y, train, mask=mask)
         return y
 
 
@@ -386,9 +468,15 @@ class ULTRONRetrievalModel(nn.Module):
             (self.num_classes, self.embed_dim),
         )
 
-    def _descriptor(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
-        return self.pooling(fmap)
+    def _descriptor(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            from research_image_retrieval_tpu.ops.masking import hw_mask
+
+            ext = jnp.asarray(valid_hw, jnp.int32) // 32  # stage-4 stride
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
+        return self.pooling(fmap, mask=mask)
 
     def __call__(self, x, labels, train: bool = True):
         feat = self._descriptor(x, train)
@@ -396,12 +484,17 @@ class ULTRONRetrievalModel(nn.Module):
         return loss, aux["logits"]
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._descriptor(x, train=False))
+        """L2-normalized descriptor.
+
+        ``valid_hw``: [B, 2] TRUE input extents for bucketed extraction.
+        CONTRACT: every extent (and the padded canvas) must be a multiple
+        of 32 — the exact-shape model imposes the same constraint
+        (PatchMerging needs even dims at every stage), so thumbnail to
+        32-multiples before bucketing.
+        """
+        return l2_normalize(
+            self._descriptor(x, train=False, valid_hw=valid_hw)
+        )
 
 
 register_model(

@@ -290,3 +290,32 @@ def test_masked_equals_exact_hamlet(rng):
                     jnp.asarray([[76, 68]]), method="extract")
     )
     np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_ultron(rng):
+    """ULTRON: per-image dynamic pos-embed interpolation, masked CDConv
+    GAP/convs, window zeros matching the exact run's window padding, and
+    masked attention-GeM pooling (32-multiple extent contract)."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("ultron_s", variant="t", img_size=64, window_size=4,
+                      num_classes=4)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    for h, w in [(64, 64), (96, 32), (64, 96)]:
+        x = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+        exact = np.asarray(
+            model.apply(variables, jnp.asarray(x), method="extract")
+        )
+        padded = np.zeros((1, 96, 96, 3), np.float32)
+        padded[:, :h, :w] = x
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(padded),
+                        jnp.asarray([[h, w]]), method="extract")
+        )
+        np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
