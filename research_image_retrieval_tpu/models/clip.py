@@ -208,10 +208,17 @@ class CLIPGlobalModel(nn.Module):
             (self.num_classes, self.outputdim),
         )
 
-    def _descriptor(self, x, train: bool):
+    def _descriptor(self, x, train: bool, valid_hw=None):
         if self.visual_proj is None:
+            if valid_hw is not None:
+                raise NotImplementedError(
+                    "masked-bucket extraction is not supported by the "
+                    "ModifiedResNet tower (its attention-pool positional "
+                    "embedding is fixed by the checkpoint grid); batch "
+                    "images of one resolution instead"
+                )
             return self.visual(x, train=train)
-        cls, _ = self.visual(x, train=train)
+        cls, _ = self.visual(x, train=train, valid_hw=valid_hw)
         return self.visual_proj(cls)
 
     def __call__(self, x, labels, train: bool = True):
@@ -224,12 +231,13 @@ class CLIPGlobalModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._descriptor(x, train=False))
+        """L2-normalized descriptor.  ``valid_hw`` (ViT towers only):
+        [B, 2] TRUE extents, multiples of the patch size (see
+        VisionTransformer contract); the ModifiedResNet tower is
+        exact-shape by design."""
+        return l2_normalize(
+            self._descriptor(x, train=False, valid_hw=valid_hw)
+        )
 
 
 register_model(

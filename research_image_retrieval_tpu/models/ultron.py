@@ -146,27 +146,6 @@ class MultiScaleContextKernel(nn.Module):
                             epsilon=1e-5, name="bn")(y)
 
 
-def _dynamic_resize_weights(n_out: int, n_in: int, true_out):
-    """Per-image bilinear resize weights [B, n_out, n_in].
-
-    Reproduces ``jax.image.resize(method="bilinear", antialias=True)``
-    from an (n_in)-sample source to each image's TRUE output length
-    ``true_out`` (traced [B] ints), laid out in the first ``true_out``
-    rows of the padded ``n_out`` grid (rows beyond it are zero).
-    """
-    t = true_out.astype(jnp.float32)[:, None, None]  # [B, 1, 1]
-    scale = n_in / t  # inverse scale: out -> in
-    kernel = jnp.maximum(scale, 1.0)  # antialias widens when downscaling
-    i = jnp.arange(n_out, dtype=jnp.float32)[None, :, None]  # [1, n_out, 1]
-    p = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
-    sample = (i + 0.5) * scale - 0.5
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(sample - p) / kernel)
-    total = jnp.sum(w, axis=2, keepdims=True)
-    w = jnp.where(jnp.abs(total) > 1e-7, w / jnp.maximum(total, 1e-7), 0.0)
-    valid = (i < t).astype(w.dtype)
-    return w * valid
-
-
 def window_partition(x, ws: int):
     """[B, H, W, C] -> ([B*nH*nW, ws*ws, C], padded (H, W))."""
     B, H, W, C = x.shape
@@ -393,8 +372,12 @@ class ULTRON(nn.Module):
             # inside the padded canvas (the exact-shape run resizes to
             # its own grid; rows/cols beyond the true grid get zero)
             ext = jnp.asarray(valid_hw, jnp.int32) // self.patch_size
-            wh = _dynamic_resize_weights(y.shape[1], pr, ext[:, 0])
-            ww = _dynamic_resize_weights(y.shape[2], pr, ext[:, 1])
+            from research_image_retrieval_tpu.ops.masking import (
+                dynamic_resize_weights,
+            )
+
+            wh = dynamic_resize_weights(y.shape[1], pr, ext[:, 0])
+            ww = dynamic_resize_weights(y.shape[2], pr, ext[:, 1])
             pos_b = jnp.einsum("bhp,pqc,bwq->bhwc", wh, pos[0], ww,
                                preferred_element_type=jnp.float32)
             y = y + pos_b

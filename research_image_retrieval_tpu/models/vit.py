@@ -47,12 +47,17 @@ class ViTBlock(nn.Module):
     quick_gelu: bool = False  # CLIP uses x*sigmoid(1.702x)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, token_mask=None):
         h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        attn_mask = None
+        if token_mask is not None:
+            # [B, N] validity -> [B, 1, 1, N]: padded tokens are removed
+            # from every query's key set
+            attn_mask = token_mask[:, None, None, :].astype(bool)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim,
             deterministic=deterministic, name="attn",
-        )(h, h)
+        )(h, h, mask=attn_mask)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
@@ -80,7 +85,12 @@ class VisionTransformer(nn.Module):
     quick_gelu: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        """``valid_hw``: optional [B, 2] TRUE input extents for bucketed
+        extraction.  CONTRACT: extents must be multiples of ``patch``
+        (SAME padding would otherwise shift the patch grid: the exact-
+        shape run splits its pad top/bottom, the bucket pads bottom only).
+        """
         B, H, W, _ = x.shape
         y = nn.Conv(
             self.dim, (self.patch,) * 2, strides=(self.patch,) * 2,
@@ -88,6 +98,13 @@ class VisionTransformer(nn.Module):
         )(x)
         gh, gw = y.shape[1], y.shape[2]
         y = y.reshape(B, gh * gw, self.dim)
+
+        patch_ext = patch_mask = None
+        if valid_hw is not None:
+            from research_image_retrieval_tpu.ops.masking import token_mask
+
+            patch_ext = jnp.asarray(valid_hw, jnp.int32) // self.patch
+            patch_mask = token_mask(gh, gw, patch_ext)  # [B, gh*gw]
 
         cls = self.param(
             "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim)
@@ -98,12 +115,25 @@ class VisionTransformer(nn.Module):
         )
         cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
         native = self.img_size // self.patch
-        if (gh, gw) != (native, native):
-            grid = patch_pos.reshape(1, native, native, self.dim)
-            grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bilinear")
-            patch_pos = grid.reshape(1, gh * gw, self.dim)
+        if patch_ext is not None:
+            # per-image interpolation to the TRUE patch grid, placed in
+            # the padded canvas (matches the exact-shape resize below)
+            from research_image_retrieval_tpu.ops.masking import (
+                dynamic_resize_weights,
+            )
 
-        y = y + patch_pos
+            grid = patch_pos.reshape(native, native, self.dim)
+            wh = dynamic_resize_weights(gh, native, patch_ext[:, 0])
+            ww = dynamic_resize_weights(gw, native, patch_ext[:, 1])
+            pos_b = jnp.einsum("bhp,pqc,bwq->bhwc", wh, grid, ww,
+                               preferred_element_type=jnp.float32)
+            y = y + pos_b.reshape(B, gh * gw, self.dim)
+        else:
+            if (gh, gw) != (native, native):
+                grid = patch_pos.reshape(1, native, native, self.dim)
+                grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bilinear")
+                patch_pos = grid.reshape(1, gh * gw, self.dim)
+            y = y + patch_pos
         tokens = [jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim)), y]
         if self.num_prompt_tokens:
             prompts = self.param(
@@ -115,12 +145,21 @@ class VisionTransformer(nn.Module):
             ))
         y = jnp.concatenate(tokens, axis=1)
 
+        tmask = None
+        if patch_mask is not None:
+            ones = jnp.ones((B, 1), patch_mask.dtype)
+            parts = [ones, patch_mask]  # CLS is always valid
+            if self.num_prompt_tokens:
+                parts.append(jnp.ones((B, self.num_prompt_tokens),
+                                      patch_mask.dtype))
+            tmask = jnp.concatenate(parts, axis=1)  # [B, N]
+
         y = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(y) if self.quick_gelu else y  # CLIP
         for i in range(self.depth):
             y = ViTBlock(
                 self.dim, self.heads, quick_gelu=self.quick_gelu,
                 name=f"block{i}",
-            )(y, deterministic=not train)
+            )(y, deterministic=not train, token_mask=tmask)
         y = nn.LayerNorm(epsilon=1e-5, name="ln_post")(y)
         return y[:, 0], y[:, 1 : 1 + gh * gw]
 
@@ -154,12 +193,24 @@ class ViTGlobalModel(nn.Module):
             (self.num_classes, self.outputdim),
         )
 
-    def _descriptor(self, x, train: bool):
-        cls, patches = self.backbone(x, train=train)
+    def _descriptor(self, x, train: bool, valid_hw=None):
+        cls, patches = self.backbone(x, train=train, valid_hw=valid_hw)
+        xp = jnp.clip(patches.astype(jnp.float32), min=1e-6) ** self.p
         # GeM over tokens: clamp^p -> mean over sequence -> ^(1/p)
-        gem = jnp.mean(
-            jnp.clip(patches.astype(jnp.float32), min=1e-6) ** self.p, axis=1
-        ) ** (1.0 / self.p)
+        if valid_hw is None:
+            gem = jnp.mean(xp, axis=1) ** (1.0 / self.p)
+        else:
+            from research_image_retrieval_tpu.ops.masking import token_mask
+
+            gh = x.shape[1] // self.backbone.patch
+            gw = x.shape[2] // self.backbone.patch
+            pm = token_mask(
+                gh, gw, jnp.asarray(valid_hw, jnp.int32) // self.backbone.patch
+            )
+            cnt = jnp.maximum(jnp.sum(pm, axis=1, keepdims=True), 1.0)
+            gem = (
+                jnp.sum(xp * pm[..., None], axis=1) / cnt
+            ) ** (1.0 / self.p)
         return self.whiten(jnp.concatenate([cls, gem], axis=-1))
 
     def __call__(self, x, labels, train: bool = True):
@@ -170,12 +221,14 @@ class ViTGlobalModel(nn.Module):
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self._descriptor(x, train=False))
+        """L2-normalized descriptor.
+
+        ``valid_hw``: [B, 2] TRUE extents for bucketed extraction; must
+        be multiples of the patch size (see VisionTransformer contract).
+        """
+        return l2_normalize(
+            self._descriptor(x, train=False, valid_hw=valid_hw)
+        )
 
 
 register_model(

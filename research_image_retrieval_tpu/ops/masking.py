@@ -25,6 +25,7 @@ __all__ = [
     "hw_mask",
     "token_mask",
     "mask_attn_logits",
+    "dynamic_resize_weights",
 ]
 
 # Large finite negative for masked attention logits.  NOT -inf: rows whose
@@ -85,3 +86,26 @@ def mask_attn_logits(logits: jnp.ndarray, key_mask: jnp.ndarray) -> jnp.ndarray:
     # broadcast [B, Nk] across logits' middle axes
     shape = (m.shape[0],) + (1,) * (logits.ndim - 2) + (m.shape[-1],)
     return jnp.where(m.reshape(shape), logits, _NEG)
+
+
+def dynamic_resize_weights(n_out: int, n_in: int, true_out) -> jnp.ndarray:
+    """Per-image bilinear resize weights [B, n_out, n_in].
+
+    Reproduces ``jax.image.resize(method="bilinear", antialias=True)``
+    from an (n_in)-sample source to each image's TRUE output length
+    ``true_out`` (traced [B] ints), laid out in the first ``true_out``
+    rows of the padded ``n_out`` grid (rows beyond it are zero).  Used
+    for per-image positional-embedding interpolation in padded buckets
+    (ULTRON, ViT).
+    """
+    t = jnp.asarray(true_out).astype(jnp.float32)[:, None, None]  # [B,1,1]
+    scale = n_in / t  # inverse scale: out -> in
+    kernel = jnp.maximum(scale, 1.0)  # antialias widens when downscaling
+    i = jnp.arange(n_out, dtype=jnp.float32)[None, :, None]  # [1,n_out,1]
+    p = jnp.arange(n_in, dtype=jnp.float32)[None, None, :]
+    sample = (i + 0.5) * scale - 0.5
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(sample - p) / kernel)
+    total = jnp.sum(w, axis=2, keepdims=True)
+    w = jnp.where(jnp.abs(total) > 1e-7, w / jnp.maximum(total, 1e-7), 0.0)
+    valid = (i < t).astype(w.dtype)
+    return w * valid

@@ -319,3 +319,57 @@ def test_masked_equals_exact_ultron(rng):
                         jnp.asarray([[h, w]]), method="extract")
         )
         np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_vit(rng):
+    """ViT: masked global attention keys, per-image dynamic pos-embed
+    interpolation, masked GeM-token pooling (patch-multiple contract)."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("vit_s16", variant="test", outputdim=32,
+                      img_size=64, num_classes=4)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    # the "test" variant uses patch=8; all sizes are multiples of it
+    for h, w in [(64, 64), (96, 48), (48, 96)]:
+        x = rng.standard_normal((1, h, w, 3)).astype(np.float32)
+        exact = np.asarray(
+            model.apply(variables, jnp.asarray(x), method="extract")
+        )
+        padded = np.zeros((1, 96, 96, 3), np.float32)
+        padded[:, :h, :w] = x
+        got = np.asarray(
+            model.apply(variables, jnp.asarray(padded),
+                        jnp.asarray([[h, w]]), method="extract")
+        )
+        np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
+
+
+def test_masked_equals_exact_clip_vit(rng):
+    """CLIP ViT tower (quick-GELU, CLS-projection descriptor) under
+    bucketed masked extraction."""
+    import jax
+
+    from research_image_retrieval_tpu.models import get_model
+
+    model = get_model("clip_vit_b32", variant="test", outputdim=24,
+                      img_size=64, num_classes=4)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    x = rng.standard_normal((1, 64, 96, 3)).astype(np.float32)
+    exact = np.asarray(model.apply(variables, jnp.asarray(x), method="extract"))
+    padded = np.zeros((1, 96, 96, 3), np.float32)
+    padded[:, :64, :96] = x
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(padded),
+                    jnp.asarray([[64, 96]]), method="extract")
+    )
+    np.testing.assert_allclose(got, exact, rtol=1e-4, atol=1e-5)
