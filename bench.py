@@ -98,8 +98,7 @@ def _train_step_512(get_model, timed_slope):
         warmup_cosine_schedule,
     )
 
-    model = get_model("gem_r50", num_classes=81313, dtype=jnp.bfloat16,
-                      bn_axis_name=None)
+    model = get_model("gem_r50", num_classes=81313, dtype=jnp.bfloat16,)
     batch, size = 32, 512
     rng = np.random.default_rng(2)
     images = jnp.asarray(rng.standard_normal((batch, size, size, 3)),

@@ -198,7 +198,7 @@ def _cvnet_rerank_ranks(qvecs, vecs, ranks, q_loader, db_loader,
     )
     from research_image_retrieval_tpu.models.cvnet import CVNetRerank
 
-    model = CVNetRerank(backbone_name=cfg.rerank_backbone, bn_axis_name=None)
+    model = CVNetRerank(backbone_name=cfg.rerank_backbone,)
     S = cfg.rerank_imsize
     probe = jnp.zeros((1, S, S, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), probe, probe)

@@ -79,14 +79,12 @@ class AdaptiveHybridModel(nn.Module):
     num_classes: int = 81313  # used by the aux classifier head
     p: float = 3.0
     temperature: float = 0.07
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.proj_sc = nn.Dense(self.outputdim, name="proj_sc_gem")

@@ -9,10 +9,14 @@ than post-hoc module mutation.
 
 TPU-first notes:
 * NHWC layout end-to-end — the native layout for TPU convolutions.
-* BatchNorm takes an optional ``bn_axis_name``: when set and run under
-  pjit/shard_map with that mesh axis, the stats are reduced across
-  replicas — the XLA-native equivalent of the reference's SyncBatchNorm
-  (reference: spca_train.py:138).
+* SyncBatchNorm (reference: spca_train.py:138) has no explicit knob here
+  **by design**: the train loop is jit-over-sharded-batch (GSPMD), where
+  ``jnp.mean`` over the batch axis is a *global* mean — XLA inserts the
+  cross-replica reduction automatically, so BN batch statistics are
+  always synchronized across the mesh.  The sharded-vs-single-device
+  equivalence of loss/grads/batch_stats is pinned by
+  tests/test_multichip_equivalence.py and asserted by
+  ``__graft_entry__.dryrun_multichip``.
 * ``convert_torch_resnet`` ingests torchvision-format state dicts (the
   reference's ``v1``/``v2`` pretrained modes) by key remapping + layout
   transposition; no torch dependency at runtime.
@@ -99,14 +103,12 @@ class BottleneckBlock(nn.Module):
         self,
         x,
         train: bool = False,
-        bn_axis_name: str | None = None,
         extents: jnp.ndarray | None = None,
     ):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            axis_name=bn_axis_name if train else None,
             dtype=self.dtype,
             name=name,
         )
@@ -157,14 +159,12 @@ class BasicBlock(nn.Module):
         self,
         x,
         train: bool = False,
-        bn_axis_name: str | None = None,
         extents: jnp.ndarray | None = None,
     ):
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            axis_name=bn_axis_name if train else None,
             dtype=self.dtype,
             name=name,
         )
@@ -209,8 +209,6 @@ class ResNet(nn.Module):
       stride_on_conv1: MSRA/pycls stride placement (on the first 1x1 of
         each bottleneck) — the reference's scratch DOLG backbone layout
         (networks/backbone.py:218-346); default is torchvision v1.5.
-      bn_axis_name: mesh axis name for cross-replica BN statistics
-        (SyncBatchNorm equivalent); only active when train=True.
       dtype: compute dtype (bf16 for TPU training; params stay fp32).
     """
 
@@ -218,7 +216,6 @@ class ResNet(nn.Module):
     out_stages: Sequence[int] = (5,)
     dilation_block5: bool = False
     stride_on_conv1: bool = False
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     @property
@@ -261,7 +258,6 @@ class ResNet(nn.Module):
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None,
             dtype=self.dtype,
             name="bn1",
         )(y)
@@ -300,7 +296,7 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{i + 1}_{j}",
                     **extra,
-                )(y, train=train, bn_axis_name=self.bn_axis_name, extents=ext)
+                )(y, train=train, extents=ext)
                 if ext is not None and stride == 2:
                     ext = ceil_half(ext)
             taps[stage] = y

@@ -112,12 +112,10 @@ class CVNetRerank(nn.Module):
     backbone_name: str = "resnet50"
     reduction_dim: int = 256
     scales: Sequence[float] = (0.25, 0.5, 1.0)
-    bn_axis_name: str | None = None
 
     def setup(self):
         self.encoder = ResNet(
             name_=self.backbone_name, out_stages=(4, 5),
-            bn_axis_name=self.bn_axis_name,
         )
         self.compress = [
             nn.Conv(self.reduction_dim, (3, 3), padding=1, use_bias=False,

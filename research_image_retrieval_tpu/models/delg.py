@@ -36,14 +36,12 @@ class DELGModel(nn.Module):
     local_dim: int = 1024
     num_classes: int = 81313
     p: float = 3.0
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.global_proj = nn.Dense(self.outputdim, name="global_proj")

@@ -102,7 +102,6 @@ class DOLGModel(nn.Module):
     # (ResStemIN/ResStage, networks/backbone.py:218-346); port its
     # checkpoints via backbone.convert_pycls_resnet
     scratch_backbone: bool = False
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -110,7 +109,6 @@ class DOLGModel(nn.Module):
             name_=self.backbone_name,
             out_stages=(4, 5),
             stride_on_conv1=self.scratch_backbone,
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.local_attn = SpatialAttention2d(1024, with_aspp=self.with_aspp)

@@ -45,7 +45,6 @@ class GeMModel(nn.Module):
     s: float = 32.0
     m: float = 0.15
     dilation_block5: bool = False
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -53,7 +52,6 @@ class GeMModel(nn.Module):
             name_=self.backbone_name,
             out_stages=(5,),
             dilation_block5=self.dilation_block5,
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.whiten = nn.Dense(self.outputdim, use_bias=True, dtype=jnp.float32,

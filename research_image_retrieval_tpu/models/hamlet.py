@@ -124,13 +124,12 @@ class HAMLETModel(nn.Module):
     hidden: int = 256
     distill_weight: float = 0.5
     hierarchy_weight: float = 0.3
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name, out_stages=(3, 4, 5),
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            dtype=self.dtype,
         )
         self.scale_projs = [
             nn.Dense(self.hidden, name=f"scale_proj{i}") for i in range(3)

@@ -122,7 +122,6 @@ class HOWModel(nn.Module):
     outputdim: int = 2048
     num_classes: int = 81313
     alpha: float = 100.0
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -131,7 +130,6 @@ class HOWModel(nn.Module):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.local_proj = nn.Conv(self.local_dim, (1, 1), name="local_proj")

@@ -49,14 +49,13 @@ class SEBottleneck(nn.Module):
     width: int
     stride: int = 1
     reduction: int = 16
-    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, extents=None):
         out_ch = self.width * 4
         norm = lambda name: nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            axis_name=self.bn_axis_name if train else None, name=name,
+            name=name,
         )
 
         def remask(y, ext):
@@ -103,7 +102,6 @@ class SENetG2Model(nn.Module):
     num_classes: int = 81313
     reduction: int = 16
     gem_p: float = 3.0
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -112,7 +110,7 @@ class SENetG2Model(nn.Module):
         # axis_name only takes effect when batch stats are computed
         # (train), so it is safe to set unconditionally here
         self.stem_bn = nn.BatchNorm(
-            momentum=0.9, epsilon=1e-5, axis_name=self.bn_axis_name, name="bn1"
+            momentum=0.9, epsilon=1e-5, name="bn1"
         )
         blocks = []
         for i, (d, w) in enumerate(zip(self.layers, (64, 128, 256, 512))):
@@ -122,7 +120,6 @@ class SENetG2Model(nn.Module):
                         width=w,
                         stride=2 if (j == 0 and i > 0) else 1,
                         reduction=self.reduction,
-                        bn_axis_name=self.bn_axis_name,
                         name=f"layer{i + 1}_{j}",
                     )
                 )

@@ -81,14 +81,12 @@ class SOLARModel(nn.Module):
     num_classes: int = 81313
     soa_k: int = 2
     m: float = 0.15
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.soa = SOABlock(k=self.soa_k)

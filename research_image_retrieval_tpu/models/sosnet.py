@@ -64,14 +64,12 @@ class SoSNetModel(nn.Module):
     num_classes: int = 81313
     use_attention: bool = True
     dropout: float = 0.5
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.so_proj = nn.Conv(self.second_order_dim, (1, 1), name="so_proj")

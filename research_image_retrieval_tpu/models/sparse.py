@@ -120,13 +120,12 @@ class SparseRetrievalModel(nn.Module):
     num_classes: int = 81313
     l1_weight: float = 1e-4
     quant_weight: float = 0.1
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name, out_stages=(5,),
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            dtype=self.dtype,
         )
         self.proj = nn.Dense(self.outputdim, name="proj")
         self.sparse = AdaptiveSparseEncoder(self.outputdim)

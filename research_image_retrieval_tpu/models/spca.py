@@ -310,7 +310,6 @@ class SpCaModel(nn.Module):
     s: float = 45.0
     m: float = 0.2
     mediumdim: int = 2048
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -320,7 +319,6 @@ class SpCaModel(nn.Module):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.pos_branch = SpcaLayer(

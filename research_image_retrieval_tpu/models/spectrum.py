@@ -163,13 +163,12 @@ class SPECTRUMModel(nn.Module):
     outputdim: int = 512
     num_classes: int = 81313
     consistency_weight: float = 0.1
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name, out_stages=(5,),
-            bn_axis_name=self.bn_axis_name, dtype=self.dtype,
+            dtype=self.dtype,
         )
         self.proj = nn.Dense(self.outputdim, name="proj")
         self.castle = BatchCASTLE(self.outputdim)

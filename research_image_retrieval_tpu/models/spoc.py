@@ -116,14 +116,12 @@ class SpoCModel(nn.Module):
     use_context: bool = True
     num_classes: int = 81313
     dropout: float = 0.5
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.ctx_conv1 = nn.Conv(self.context_dim, (3, 3), padding=1, name="ctx_conv1")

@@ -119,14 +119,12 @@ class TokenModel(nn.Module):
     num_object: int = 4
     m: float = 0.2
     use_delg_arcface: bool = False
-    bn_axis_name: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = ResNet(
             name_=self.backbone_name,
             out_stages=(5,),
-            bn_axis_name=self.bn_axis_name,
             dtype=self.dtype,
         )
         self.tr = TokenRefine(

@@ -7,7 +7,7 @@ The framework's parallelism model (SURVEY.md section 2.3):
   (81313 x D, ~0.67 GB fp32) column-wise across devices; XLA inserts the
   psum for the cross-entropy logsumexp automatically under GSPMD.
 
-Gradient all-reduce, BN-stat sync (via bn_axis_name), and meter reductions
+Gradient all-reduce, BN-stat sync (global-batch GSPMD semantics), and meter reductions
 all come out of jit + shardings — no explicit process groups (the
 reference's init_distributed_mode / SyncBatchNorm / DDP wrapper trio).
 """

@@ -67,7 +67,7 @@ def test_mesh_sharded_extraction_matches_single_device(rng):
     from research_image_retrieval_tpu.parallel import make_mesh
 
     model = get_model("gem_r50", backbone_name="resnet18", outputdim=16,
-                      num_classes=4, bn_axis_name=None)
+                      num_classes=4,)
     im0 = rng.standard_normal((40, 40, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im0[None]),

@@ -99,7 +99,7 @@ def test_gem_whole_model_parity(rng):
 
     variables = convert_torch_resnet(oracle.backbone.state_dict(), "resnet18")
     model = get_model("gem_r50", backbone_name="resnet18", outputdim=24,
-                      num_classes=5, bn_axis_name=None)
+                      num_classes=5,)
     params = {
         "backbone": variables["params"],
         "whiten": lin_params(oracle.whiten),
@@ -161,7 +161,7 @@ def test_dolg_whole_model_parity(rng):
 
     bb = convert_torch_resnet(oracle.backbone.state_dict(), "resnet18")
     model = get_model("dolg_r50", backbone_name="resnet18", outputdim=24,
-                      num_classes=5, bn_axis_name=None)
+                      num_classes=5,)
     bn_p, bn_s = bn_params(oracle.bn)
     params = {
         "backbone": bb["params"],
@@ -181,7 +181,7 @@ def test_dolg_whole_model_parity(rng):
         want = oracle(torch.from_numpy(x)).numpy()
     got = np.asarray(
         get_model("dolg_r50", backbone_name="resnet18", outputdim=24,
-                  num_classes=5, bn_axis_name=None).apply(
+                  num_classes=5,).apply(
             {"params": params, "batch_stats": stats},
             jnp.asarray(np.transpose(x, (0, 2, 3, 1))), method="extract",
         )
@@ -291,7 +291,7 @@ def _token_pair(rng):
     _rand_bn1d(oracle.proj_bn, gen)
     bb = convert_torch_resnet(oracle.backbone.state_dict(), "resnet18")
     model = get_model("token_r50", backbone_name="resnet18", outputdim=32,
-                      num_classes=5, bn_axis_name=None)
+                      num_classes=5,)
     return oracle, model, _token_variables(oracle, bb)
 
 

@@ -123,15 +123,14 @@ def test_masked_equals_exact_round2_models(name, kw, rng):
     if name == "cvnet_global":
         from research_image_retrieval_tpu.models.cvnet import CVNetRerank
 
-        model = CVNetRerank(backbone_name="resnet18", bn_axis_name=None)
+        model = CVNetRerank(backbone_name="resnet18",)
         im = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
         variables = model.init(jax.random.PRNGKey(0), jnp.asarray(im),
                                jnp.asarray(im))
     else:
         from research_image_retrieval_tpu.models import get_model
 
-        model = get_model(name, backbone_name="resnet18", num_classes=4,
-                          bn_axis_name=None, **kw)
+        model = get_model(name, backbone_name="resnet18", num_classes=4, **kw)
         im = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
         variables = model.init(
             jax.random.PRNGKey(0), jnp.asarray(im),
@@ -163,8 +162,7 @@ def test_masked_equals_exact_how_spoc(name, kw, rng):
 
     from research_image_retrieval_tpu.models import get_model
 
-    model = get_model(name, backbone_name="resnet18", num_classes=4,
-                      bn_axis_name=None, **kw)
+    model = get_model(name, backbone_name="resnet18", num_classes=4, **kw)
     im = rng.standard_normal((1, 224, 224, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im),
@@ -195,7 +193,7 @@ def test_masked_equals_exact_senet_g2(rng):
     from research_image_retrieval_tpu.models import get_model
 
     model = get_model("senet_g2_r50", layers=(1, 1, 1, 1), outputdim=24,
-                      num_classes=4, bn_axis_name=None)
+                      num_classes=4,)
     im = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im),
@@ -220,7 +218,7 @@ def test_masked_equals_exact_sparse(rng):
     from research_image_retrieval_tpu.models import get_model
 
     model = get_model("sparse_r50", backbone_name="resnet18", outputdim=24,
-                      num_classes=4, bn_axis_name=None)
+                      num_classes=4,)
     im = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im),
@@ -245,7 +243,7 @@ def test_masked_equals_exact_iris(rng):
     from research_image_retrieval_tpu.models import get_model
 
     model = get_model("iris_r50", backbone_name="resnet18", outputdim=32,
-                      num_classes=4, bn_axis_name=None)
+                      num_classes=4,)
     im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im),
@@ -275,7 +273,7 @@ def test_masked_equals_exact_hamlet(rng):
     from research_image_retrieval_tpu.models import get_model
 
     model = get_model("hamlet_r50", backbone_name="resnet18", outputdim=32,
-                      hidden=16, num_classes=4, bn_axis_name=None)
+                      hidden=16, num_classes=4,)
     im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(im),
