@@ -70,8 +70,10 @@ void* rir_records_open(const char* path) {
   uint64_t count, index_off;
   memcpy(&count, base + 8, 8);
   memcpy(&index_off, base + 16, 8);
-  if (index_off + count * sizeof(IndexEntry) >
-      static_cast<uint64_t>(st.st_size)) {
+  // overflow-safe layout check: a crafted header must not wrap uint64
+  const uint64_t fsize = static_cast<uint64_t>(st.st_size);
+  if (index_off > fsize ||
+      count > (fsize - index_off) / sizeof(IndexEntry)) {
     munmap(mem, st.st_size);
     ::close(fd);
     return nullptr;
@@ -99,7 +101,8 @@ int rir_records_get(void* handle, int64_t i, const uint8_t** ptr,
   Reader* r = static_cast<Reader*>(handle);
   if (i < 0 || static_cast<uint64_t>(i) >= r->count) return -1;
   const IndexEntry& e = r->index[i];
-  if (e.offset + e.length > r->size) return -1;
+  // overflow-safe: offset+length on a corrupt entry must not wrap uint64
+  if (e.offset > r->size || e.length > r->size - e.offset) return -1;
   *ptr = r->base + e.offset;
   *len = e.length;
   *label = e.label;
@@ -125,7 +128,7 @@ int rir_records_prefetch(void* handle, const int64_t* idxs, int64_t n) {
     int64_t i = idxs[k];
     if (i < 0 || static_cast<uint64_t>(i) >= r->count) continue;
     const IndexEntry& e = r->index[i];
-    if (e.offset + e.length > r->size) continue;
+    if (e.offset > r->size || e.length > r->size - e.offset) continue;
     const uint8_t* p = r->base + (e.offset & ~(page - 1));
     size_t span = e.length + (e.offset & (page - 1));
     madvise(const_cast<uint8_t*>(p), span, MADV_WILLNEED);

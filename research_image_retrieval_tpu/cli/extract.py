@@ -69,7 +69,7 @@ def main(argv=None):
     cfg = EvalConfig(model=args.model, checkpoint=args.checkpoint,
                      imsize=args.imsize)
     model, variables = _load_model(cfg)
-    extract, bucket = _make_extract_fn(model, variables)
+    extract, bucket, multiple = _make_extract_fn(model, variables)
     scales = (1.0, 2 ** -0.5, 0.5) if args.multiscale else (1.0,)
 
     names: list = []
@@ -103,7 +103,8 @@ def main(argv=None):
             loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None)
 
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
-                           batch_size=args.batch_size, print_freq=100)
+                           batch_size=args.batch_size, print_freq=100,
+                           extent_multiple=multiple)
     out = {"vecs": np.asarray(vecs, np.float32),
            "names": np.asarray(names)}
     if labels is not None:

@@ -73,31 +73,42 @@ def _load_model(cfg: EvalConfig, num_classes: int = 81313):
 
 
 def _make_extract_fn(model, variables, bucket: int = 128):
-    """Extraction fn + bucket mode for ``extract_vectors``.
+    """Extraction fn + bucket mode + extent alignment for
+    ``extract_vectors``.
 
     Probes (via abstract evaluation, no compute) whether the model's
     extract path accepts a ``valid_hw`` extent array; if so, bucketed
     masked extraction is used (O(buckets) compiles on aspect-preserving
-    datasets), otherwise exact-shape grouping.
+    datasets), otherwise exact-shape grouping.  Returns
+    ``(fn, bucket, extent_multiple)`` — patch/window models advertise a
+    grid multiple (``model.extent_multiple``) and extract_vectors snaps
+    image extents to it, keeping their ``valid_hw // patch`` exact.
     """
     masked = lambda x, valid_hw: model.apply(
         variables, x, valid_hw, method="extract"
     )
+    multiple = int(getattr(model, "extent_multiple", 1))
+    probe = 64 * max(1, -(-multiple // 64))  # probe size obeys alignment
     try:
         jax.eval_shape(
             masked,
-            jax.ShapeDtypeStruct((1, 64, 64, 3), jnp.float32),
+            jax.ShapeDtypeStruct((1, probe, probe, 3), jnp.float32),
             jax.ShapeDtypeStruct((1, 2), jnp.int32),
         )
-        return masked, bucket
+        return masked, bucket, multiple
     except Exception:
-        return (lambda x: model.apply(variables, x, method="extract")), None
+        return (
+            (lambda x: model.apply(variables, x, method="extract")),
+            None,
+            1,
+        )
 
 
 def evaluate(cfg: EvalConfig):
     """Evaluate on the configured Revisited datasets; returns result dict."""
     model, variables = _load_model(cfg)
-    extract, bucket = _make_extract_fn(model, variables, bucket=cfg.bucket)
+    extract, bucket, multiple = _make_extract_fn(model, variables,
+                                                 bucket=cfg.bucket)
 
     results = {}
     for dataset in cfg.datasets:
@@ -115,9 +126,11 @@ def evaluate(cfg: EvalConfig):
             bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
         )
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
-                               print_freq=100, bucket=bucket)
+                               print_freq=100, bucket=bucket,
+                               extent_multiple=multiple)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
-                                print_freq=100, bucket=bucket)
+                                print_freq=100, bucket=bucket,
+                                extent_multiple=multiple)
         if cfg.pca_whiten:
             vecs, qvecs = _whiten(vecs, qvecs, cfg)
         if cfg.alpha_qe:
@@ -354,17 +367,19 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
         image_size=min(cfg.imsize, 128), seed=7,
     )
     imgs, labels = ds.as_arrays()
-    extract, bucket = _make_extract_fn(model, variables, bucket=cfg.bucket)
+    extract, bucket, multiple = _make_extract_fn(model, variables,
+                                                 bucket=cfg.bucket)
     vecs = extract_vectors(extract, list(imgs), scales=cfg.multiscale,
-                           bucket=bucket)
+                           bucket=bucket, extent_multiple=multiple)
     q_idx = np.arange(0, len(ds), 8)
     qvecs = vecs[q_idx]
+    # same pipeline order as evaluate(): whiten first, then expand queries
+    if cfg.pca_whiten:
+        vecs, qvecs = _whiten(vecs, qvecs, cfg)
     if cfg.alpha_qe:
         qvecs = np.asarray(
             alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
         )
-    if cfg.pca_whiten:
-        vecs, qvecs = _whiten(vecs, qvecs, cfg)
     gnd = make_synthetic_gnd(labels, q_idx)
     ranks = rank_full(qvecs, vecs)
     if cfg.superglobal:

@@ -45,6 +45,11 @@ _MIN_SIDE = 36
 _UPSCALE_TARGET = 64
 
 
+def _snap(v: int, multiple: int) -> int:
+    """Nearest positive multiple of ``multiple`` to ``v``."""
+    return max(multiple, int(round(v / multiple)) * multiple)
+
+
 def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     """Bilinear resize of NHWC batch (half-pixel centers = torch
     align_corners=False)."""
@@ -123,22 +128,39 @@ def multiscale_descriptor(
 
 
 def _scale_tasks(
-    idx: int, img: np.ndarray, scales: Sequence[float]
+    idx: int, img: np.ndarray, scales: Sequence[float], multiple: int = 1
 ) -> list[tuple[int, np.ndarray]]:
     """Expand one image into (owner index, scaled image) tasks, applying
-    the reference's <36px guards (utils/helpfunc.py:22-46)."""
+    the reference's <36px guards (utils/helpfunc.py:22-46).
+
+    ``multiple`` > 1 snaps every task's extents to the nearest multiple
+    (one resize straight from the original — no double resampling): the
+    grid-aligned-extent contract of patch/window models (ViT, CLIP-ViT,
+    ULTRON), whose masked paths compute their token grid as
+    ``valid_hw // patch`` and would silently drop boundary content on
+    unaligned extents.
+    """
     H, W = img.shape[:2]
     if len(scales) == 1 and scales[0] == 1.0:
+        nh, nw = H, W
         if H < _MIN_SIDE or W < _MIN_SIDE:
             s = max(_UPSCALE_TARGET / H, _UPSCALE_TARGET / W)
-            img = resize_bilinear_np(img, int(round(H * s)), int(round(W * s)))
+            nh, nw = int(round(H * s)), int(round(W * s))
+        if multiple > 1:
+            nh, nw = _snap(nh, multiple), _snap(nw, multiple)
+        if (nh, nw) != (H, W):
+            img = resize_bilinear_np(img, nh, nw)
         return [(idx, img)]
     tasks = []
     for s in scales:
         nh, nw = int(math.floor(H * s)), int(math.floor(W * s))
         if nh < _MIN_SIDE or nw < _MIN_SIDE:
             continue
-        scaled = img if s == 1.0 else resize_bilinear_np(img, nh, nw)
+        if multiple > 1:
+            nh, nw = _snap(nh, multiple), _snap(nw, multiple)
+        scaled = (
+            img if (nh, nw) == (H, W) else resize_bilinear_np(img, nh, nw)
+        )
         tasks.append((idx, scaled))
     if not tasks:
         raise ValueError(
@@ -206,6 +228,7 @@ def extract_vectors(
     bucket: int | None = 32,
     batch_size: int = 8,
     mesh=None,
+    extent_multiple: int = 1,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -230,6 +253,12 @@ def extract_vectors(
       batch_size: fixed device batch per bucket (tail chunks are padded).
       mesh: optional ``jax.sharding.Mesh`` — batches shard over its
         'data' axis for multi-chip index building (bucketed mode only).
+      extent_multiple: grid alignment required by the model's masked
+        path (patch size for ViT/CLIP-ViT, 32 for ULTRON; models
+        advertise it as ``model.extent_multiple``).  Every task's extents
+        are snapped to the nearest multiple before bucketing so
+        ``valid_hw // patch`` inside the model is exact; the bucket
+        quantum is rounded up to a multiple as well.  Bucketed mode only.
 
     Returns:
       [N, D] numpy array of descriptors in input order.
@@ -243,10 +272,12 @@ def extract_vectors(
         return _extract_exact_shapes(
             extract_fn, imgs, scales, print_freq=print_freq
         )
+    if extent_multiple > 1:
+        bucket = -(-bucket // extent_multiple) * extent_multiple
 
     tasks: list[tuple[int, np.ndarray]] = []
     for i, img in enumerate(imgs):
-        tasks.extend(_scale_tasks(i, img, scales))
+        tasks.extend(_scale_tasks(i, img, scales, multiple=extent_multiple))
 
     results = _run_buckets_masked(extract_fn, tasks, bucket, batch_size,
                                   mesh=mesh)

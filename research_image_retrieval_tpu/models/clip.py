@@ -186,6 +186,16 @@ class CLIPGlobalModel(nn.Module):
     m: float = 0.15
     img_size: int = 224
 
+    @property
+    def extent_multiple(self) -> int:
+        """Grid alignment for bucketed masked extraction (ViT towers:
+        patch size).  The ModifiedResNet tower rejects masked extraction
+        outright (the eval driver's probe falls back to exact shapes),
+        so its value is never consulted."""
+        if self.variant in CLIP_RESNET_CONFIGS:
+            return 1
+        return VIT_CONFIGS[self.variant]["patch"]
+
     def setup(self):
         if self.variant in CLIP_RESNET_CONFIGS:
             self.visual = ModifiedResNet(

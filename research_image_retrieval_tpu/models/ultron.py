@@ -427,6 +427,13 @@ class ULTRONRetrievalModel(nn.Module):
     rho: float = 0.04
     use_context_keys: bool = True
 
+    @property
+    def extent_multiple(self) -> int:
+        """Grid alignment contract for bucketed masked extraction: true
+        extents must be multiples of 32 (4-patch embed x 3 PatchMerging
+        halvings; extract_vectors snaps them — see index/extract.py)."""
+        return 32
+
     def setup(self):
         cfg = {
             "s": dict(embed_dims=(64, 128, 320, 512), depths=(3, 5, 9, 5),

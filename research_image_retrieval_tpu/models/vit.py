@@ -181,6 +181,13 @@ class ViTGlobalModel(nn.Module):
     quick_gelu: bool = False
     dtype: Any = jnp.float32
 
+    @property
+    def extent_multiple(self) -> int:
+        """Grid alignment contract for bucketed masked extraction: true
+        extents must be multiples of the patch size (extract_vectors
+        snaps them — see index/extract.py)."""
+        return VIT_CONFIGS[self.variant]["patch"]
+
     def setup(self):
         cfg = VIT_CONFIGS[self.variant]
         self.backbone = VisionTransformer(

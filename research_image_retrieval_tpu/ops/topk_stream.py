@@ -164,7 +164,7 @@ def approx_streaming_topk(
 
     ``lax.approx_max_k`` is the TPU-native partial-reduction top-k
     (Chern et al., "TPU-KNN") — O(N) instead of the O(N log N) sort that
-    ``lax.top_k`` lowers to.  With bf16 scoring and ~N/4 chunks this runs
+    ``lax.top_k`` lowers to.  With bf16 scoring and ~N/2 chunks this runs
     near HBM speed-of-light: measured 9.6 ms at recall@100 = 0.9994 for
     top-100 over 1.4M x 2048 bf16 on one v5e chip (597 GB/s effective,
     in-graph slope timing) vs 38.8 ms for the exact scan — meeting the
@@ -189,9 +189,9 @@ def approx_streaming_topk(
 def streaming_topk(queries, gallery, k: int = 100, chunk: int | None = None,
                    exact: bool = True):
     """Dispatch: exact grouped scan stream, or the approx serving path on
-    TPU.  With no explicit ``chunk``, the exact path uses the same ~N/4
-    bandwidth-optimal chunking as the serving path on TPU and a small
-    cache-friendly chunk elsewhere."""
+    TPU.  With no explicit ``chunk``, the exact path picks ~N/8 chunks on
+    TPU (the approx path picks ~N/2; both from on-chip median sweeps,
+    BENCH.md) and a small cache-friendly chunk elsewhere."""
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     if not exact and on_tpu:
