@@ -46,6 +46,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr-top-attn", type=int, default=128)
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
+    p.add_argument("--iqe", action="store_true",
+                   help="learned Iterative Query Expansion ranking "
+                        "(index/qe.py); train its MLP or pass "
+                        "--iqe-checkpoint, else it runs random-init")
+    p.add_argument("--iqe-k", type=int, default=5)
+    p.add_argument("--iqe-iterations", type=int, default=2)
+    p.add_argument("--iqe-gamma", type=float, default=0.6)
+    p.add_argument("--iqe-checkpoint", default=None)
     p.add_argument("--output", default=None, help="write results JSON here")
     p.add_argument("--output-csv", default=None,
                    help="write a combined CSV (dataset, easy, medium, hard) "
@@ -74,6 +82,11 @@ def main(argv=None):
         alpha_qe=args.alpha_qe,
         qe_k=args.qe_k,
         qe_alpha=args.qe_alpha,
+        iqe=args.iqe,
+        iqe_k=args.iqe_k,
+        iqe_iterations=args.iqe_iterations,
+        iqe_gamma=args.iqe_gamma,
+        iqe_checkpoint=args.iqe_checkpoint,
         superglobal=args.superglobal,
         sg_m=args.sg_m,
         pca_whiten=args.pca_whiten,

@@ -137,7 +137,10 @@ def evaluate(cfg: EvalConfig):
             qvecs = np.asarray(
                 alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
             )
-        ranks = rank_full(qvecs, vecs)
+        if cfg.iqe:
+            ranks = _iqe_ranks(qvecs, vecs, cfg)
+        else:
+            ranks = rank_full(qvecs, vecs)
         if cfg.superglobal:
             ranks = _superglobal_ranks(qvecs, vecs, ranks, cfg)
         if cfg.cvnet_rerank:
@@ -346,6 +349,44 @@ def _local_rerank_ranks(model, variables, qvecs, vecs, ranks, q_loader,
     return _splice_ranks(ranks, union[new_local])
 
 
+def _iqe_ranks(qvecs, vecs, cfg: EvalConfig) -> np.ndarray:
+    """Rank with the learned Iterative Query Expansion: the IQE MLP
+    expands each query from its top-k neighbors and blends initial with
+    expanded scores, recursively (index/qe.py; reference
+    manus/1_SPARSE/sparse_model.py:334-426).  Returns the [db, nq] rank
+    matrix from the blended final scores."""
+    from research_image_retrieval_tpu.index.qe import IterativeQueryExpansion
+
+    model = IterativeQueryExpansion(
+        embed_dim=int(qvecs.shape[1]), top_k=cfg.iqe_k,
+        max_iterations=cfg.iqe_iterations, gamma=cfg.iqe_gamma,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(qvecs[:1]), jnp.asarray(vecs[:2])
+    )
+    if cfg.iqe_checkpoint:
+        import orbax.checkpoint as ocp
+
+        from research_image_retrieval_tpu.train.checkpoint import partial_load
+
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(cfg.iqe_checkpoint)
+        )
+        if "state" in restored:
+            restored = restored["state"]
+        variables, report = partial_load(variables, restored)
+        print(f">> IQE checkpoint: {len(report['loaded'])} arrays loaded, "
+              f"{len(report['shape_mismatch'])} shape-mismatched")
+    else:
+        print(">> WARNING: IQE expansion running from RANDOM init "
+              "(no iqe_checkpoint) — the expansion MLP is untrained")
+    out = jax.jit(model.apply)(
+        variables, jnp.asarray(qvecs, jnp.float32),
+        jnp.asarray(vecs, jnp.float32),
+    )
+    return np.asarray(jnp.argsort(-out["final_scores"], axis=1)).T
+
+
 def _superglobal_ranks(qvecs, vecs, ranks, cfg: EvalConfig):
     """Refine the top-M of each query with SuperGlobal reranking and
     splice the reordered shortlist back into the full [db, nq] ranks."""
@@ -381,7 +422,7 @@ def evaluate_synthetic(model, variables, cfg: EvalConfig):
             alpha_query_expansion(qvecs, vecs, k=cfg.qe_k, alpha=cfg.qe_alpha)
         )
     gnd = make_synthetic_gnd(labels, q_idx)
-    ranks = rank_full(qvecs, vecs)
+    ranks = _iqe_ranks(qvecs, vecs, cfg) if cfg.iqe else rank_full(qvecs, vecs)
     if cfg.superglobal:
         ranks = _superglobal_ranks(qvecs, vecs, ranks, cfg)
     return compute_map_and_print(

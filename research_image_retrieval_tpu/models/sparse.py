@@ -10,6 +10,13 @@ Behavioral contract of the reference prototype
 * SemanticPreservingQuantization — an importance MLP allocates 2..8 bits
   per dimension; affine quantize/dequantize with a straight-through
   estimator; reconstruction + importance-weighted semantic losses.
+* LLMKnowledgeDistillation — projection MLPs + a distillation head and an
+  InfoNCE-style contrastive loss against TEACHER text embeddings
+  (reference: sparse_model.py:1-149).  The reference embeds a DistilBERT
+  teacher inside the model; here the teacher runs OFFLINE on the host and
+  the train step takes precomputed ``text_features`` (the same pattern as
+  ``hamlet_loss`` — keeps the jitted TPU program static and free of a
+  host-bound tokenizer).
 * the IQE companion lives in index.qe.IterativeQueryExpansion.
 """
 
@@ -31,7 +38,73 @@ from research_image_retrieval_tpu.ops import (
 )
 
 __all__ = ["SparseRetrievalModel", "AdaptiveSparseEncoder",
-           "SemanticPreservingQuantization"]
+           "SemanticPreservingQuantization", "LLMKnowledgeDistillation"]
+
+
+class _ProjMLP(nn.Module):
+    """Dense -> LayerNorm -> GELU -> Dense (the reference's projection
+    block shape, sparse_model.py:33-68)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.out_dim * 2, name="fc1")(x)
+        h = nn.gelu(nn.LayerNorm(epsilon=1e-5, name="ln")(h))
+        return nn.Dense(self.out_dim, name="fc2")(h)
+
+
+class LLMKnowledgeDistillation(nn.Module):
+    """Contrastive distillation from precomputed teacher text embeddings
+    (reference: sparse_model.py:9-149).
+
+    ``text_features`` may be [B, text_dim] (pooled) or [B, L, text_dim]
+    (token sequence; mean-pooled here, matching the reference).  The
+    distillation loss is InfoNCE: cosine similarities between the
+    distillation head's output and the projected teacher embeddings,
+    temperature-scaled, cross-entropy against the diagonal.
+
+    All three MLPs materialize their params on every call (a zero-batch
+    drive of text_proj when no teacher batch is present) so the param
+    tree is identical whether or not a teacher is used — init without a
+    teacher, resume with one.
+    """
+
+    embed_dim: int = 256
+    text_dim: int = 768  # DistilBERT hidden size (reference default)
+    temperature: float = 2.0
+
+    @nn.compact
+    def __call__(self, visual_features, text_features=None):
+        if visual_features.ndim == 4:  # [B, H, W, C] featuremap -> GAP
+            visual_features = jnp.mean(visual_features, axis=(1, 2))
+        visual_embed = _ProjMLP(self.embed_dim, name="visual_proj")(
+            visual_features
+        )
+        distill_embed = _ProjMLP(self.embed_dim, name="distill_head")(
+            visual_embed
+        )
+        text_proj = _ProjMLP(self.embed_dim, name="text_proj")
+        out = {
+            "visual_embed": visual_embed,
+            "distill_embed": distill_embed,
+            "distill_loss": jnp.float32(0.0),
+        }
+        if text_features is None:
+            text_proj(jnp.zeros((1, self.text_dim)))  # materialize params
+            return out
+        if text_features.ndim == 3:  # [B, L, D] -> mean over tokens
+            text_features = jnp.mean(text_features, axis=1)
+        text_embed = text_proj(jax.lax.stop_gradient(text_features))
+        t = l2_normalize(text_embed, axis=-1)
+        d = l2_normalize(distill_embed, axis=-1)
+        sim = (d @ t.T) / self.temperature
+        labels = jnp.arange(sim.shape[0])
+        out.update(
+            text_embed=text_embed,
+            distill_loss=cross_entropy(sim, labels),
+        )
+        return out
 
 
 class AdaptiveSparseEncoder(nn.Module):
@@ -120,6 +193,9 @@ class SparseRetrievalModel(nn.Module):
     num_classes: int = 81313
     l1_weight: float = 1e-4
     quant_weight: float = 0.1
+    distill_weight: float = 0.5
+    distill_dim: int = 256
+    text_dim: int = 768  # teacher embedding width (DistilBERT hidden)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -130,6 +206,10 @@ class SparseRetrievalModel(nn.Module):
         self.proj = nn.Dense(self.outputdim, name="proj")
         self.sparse = AdaptiveSparseEncoder(self.outputdim)
         self.quant = SemanticPreservingQuantization(self.outputdim)
+        self.distill = LLMKnowledgeDistillation(
+            embed_dim=self.distill_dim, text_dim=self.text_dim,
+            name="distill",
+        )
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
     def _encode(self, x, train: bool, valid_hw=None):
@@ -143,7 +223,10 @@ class SparseRetrievalModel(nn.Module):
         q = self.quant(sp["sparse_features"])
         return q["quantized_features"], sp, q
 
-    def __call__(self, x, labels, train: bool = True):
+    def __call__(self, x, labels, train: bool = True, text_features=None):
+        """``text_features``: optional precomputed teacher embeddings
+        ([B, D_text] or [B, L, D_text]) — adds the LKD contrastive
+        distillation term (reference: sparse_model.py:96-149)."""
         feat, sp, q = self._encode(x, train)
         logits = self.classifier(feat)
         loss = (
@@ -151,6 +234,9 @@ class SparseRetrievalModel(nn.Module):
             + self.l1_weight * sp["l1_reg"]
             + self.quant_weight * q["quant_loss"]
         )
+        lkd = self.distill(feat, text_features)
+        if text_features is not None:
+            loss = loss + self.distill_weight * lkd["distill_loss"]
         return loss, logits
 
     def extract(self, x, valid_hw=None):

@@ -15,6 +15,7 @@ configured (the reference's simulated-GLDv2 mode, ultron_training.py:25-67).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import jax
@@ -335,6 +336,20 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
 
         if (epoch + 1) % cfg.save_freq == 0:
             mgr.save(epoch + 1, snapshot(), metric=val_metric)
+
+        if cfg.plot_freq and (epoch + 1) % cfg.plot_freq == 0:
+            try:
+                from research_image_retrieval_tpu.train.plots import (
+                    plot_curves,
+                )
+
+                plot_curves(
+                    history, os.path.join(cfg.directory, "curves.png"),
+                    title=f"{cfg.model} training",
+                )
+            except Exception as e:  # matplotlib is an optional channel
+                print(f">> curve plotting unavailable: {e}")
+                cfg = dataclasses.replace(cfg, plot_freq=0)
 
     close_writers()
     return state, history

@@ -57,6 +57,10 @@ class TrainConfig:
     # TensorBoard event files alongside JSONL (reference channel:
     # manus/6_iris/iris_train.py:487-488); needs the tensorboard package
     tensorboard: bool = False
+    # redraw <directory>/curves.png every N epochs (0 disables) — the
+    # reference's in-loop matplotlib dumps (spca_train.py:206-240), out
+    # of the hot loop here (per-epoch, not per-10-iterations)
+    plot_freq: int = 1
 
 
 @dataclasses.dataclass
@@ -79,6 +83,14 @@ class EvalConfig:
     alpha_qe: bool = False
     qe_k: int = 10
     qe_alpha: float = 3.0
+    # learned Iterative Query Expansion (index/qe.py, reference
+    # manus/1_SPARSE/sparse_model.py:334-426): MLP-expanded queries,
+    # blended scores, applied recursively
+    iqe: bool = False
+    iqe_k: int = 5
+    iqe_iterations: int = 2
+    iqe_gamma: float = 0.6
+    iqe_checkpoint: str | None = None
     # SuperGlobal-style global-feature reranking (index/superglobal.py)
     superglobal: bool = False
     sg_m: int = 100  # shortlist size to refine

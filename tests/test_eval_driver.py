@@ -194,3 +194,25 @@ def test_eval_driver_delg_local_rerank(tmp_path, rng):
     assert len(res) == 3
     for v in res:
         assert 0.0 <= float(v) <= 100.0
+
+
+def test_evaluate_with_iqe(revisited_dir, capsys):
+    """--iqe path: the learned IterativeQueryExpansion ranks end-to-end
+    (random init -> warning printed, results in range)."""
+    cfg = EvalConfig(
+        model="gem_r50",
+        model_overrides=dict(backbone_name="resnet18", outputdim=32,
+                             num_classes=8),
+        datasets=("roxford5k",),
+        data_root=revisited_dir,
+        imsize=64,
+        iqe=True,
+        iqe_k=3,
+        iqe_iterations=2,
+    )
+    results = evaluate(cfg)
+    e, m, h = results["roxford5k"]
+    out = capsys.readouterr().out
+    assert "IQE" in out and "RANDOM init" in out
+    for v in (e, m, h):
+        assert 0.0 <= v <= 100.0

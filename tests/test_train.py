@@ -241,3 +241,20 @@ class TestMeters:
             ml.update(loss=1.0)
         out = capsys.readouterr().out
         assert "loss" in out and "Total time" in out
+
+
+class TestInTrainingPlots:
+    def test_curves_png_written(self, tmp_path):
+        """plot_freq wires train/plots.py into the epoch loop (reference
+        spca_train.py:206-240): curves.png appears and is re-drawn."""
+        from research_image_retrieval_tpu.train.driver import train
+        from research_image_retrieval_tpu.utils.config import get_preset
+
+        cfg = get_preset(
+            "gem_r50", num_epochs=2, batch_size=8, imsize=24, num_workers=0,
+            directory=str(tmp_path / "ck"), save_freq=10, plot_freq=1,
+            model_overrides={"backbone_name": "resnet18", "outputdim": 16},
+        )
+        train(cfg, max_steps_per_epoch=2)
+        png = tmp_path / "ck" / "curves.png"
+        assert png.exists() and png.stat().st_size > 0
