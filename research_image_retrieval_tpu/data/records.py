@@ -279,14 +279,26 @@ class RecordDataset:
         self.reader.prefetch(self.indices[np.asarray(batch_indices)])
 
 
-def convert_lmdb_to_records(lmdb_path: str, out_path: str) -> int:
+def convert_lmdb_to_records(lmdb_path: str, out_path: str,
+                            open_env=None) -> int:
     """Migrate a reference LMDB (pickled (jpeg_bytes, label) values —
-    configdataset.py:264-305) into a packed record file."""
+    configdataset.py:264-305) into a packed record file.
+
+    ``open_env``: injectable ``lmdb.open``-compatible factory (a path ->
+    an env with ``begin(write=False)`` whose txn supports ``get`` and
+    ``cursor``).  Defaults to the real ``lmdb`` package; tests drive the
+    full migration logic — __keys__ discovery, cursor fallback, pickle
+    decode, record packing — through a fake env without it.
+    """
     import pickle
 
-    import lmdb  # hard dep only for migration
+    if open_env is None:
+        import lmdb  # hard dep only for migration
 
-    env = lmdb.open(lmdb_path, readonly=True, lock=False, readahead=True)
+        open_env = lambda p: lmdb.open(
+            p, readonly=True, lock=False, readahead=True
+        )
+    env = open_env(lmdb_path)
 
     def items() -> Iterator[tuple[bytes, int]]:
         with env.begin(write=False) as txn:
