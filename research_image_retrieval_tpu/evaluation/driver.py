@@ -284,7 +284,7 @@ def _local_rerank_ranks(model, variables, qvecs, vecs, ranks, q_loader,
     was never built there).
     """
     from research_image_retrieval_tpu.index import (
-        geometric_verification_score,
+        geometric_verification_batch,
         rerank_shortlist_batched,
         search_topk,
     )
@@ -334,14 +334,19 @@ def _local_rerank_ranks(model, variables, qvecs, vecs, ranks, q_loader,
     remap = {int(g): j for j, g in enumerate(union)}
     local_idx = np.vectorize(remap.get)(indices)
 
+    # all locals are attention-top-K of a fixed square grid, so the
+    # per-image lists stack to fixed [*, L, D] / [*, L, 2] blocks and
+    # every pair scores through the vectorized RANSAC program
+    qd, qc2 = np.stack(q_desc), np.stack(q_xy)
+    gd, gc2 = np.stack(g_desc), np.stack(g_xy)
+
     def scorer(qids, gids):
-        out = np.empty(len(qids), np.float32)
-        for n, (qi, gi) in enumerate(zip(qids, gids)):
-            inliers = geometric_verification_score(
-                q_desc[qi], q_xy[qi], g_desc[gi], g_xy[gi]
-            )
-            out[n] = inliers / float(cfg.lr_top_attn)
-        return out
+        qids = np.asarray(qids)
+        gids = np.asarray(gids)
+        inliers = geometric_verification_batch(
+            qd[qids], qc2[qids], gd[gids], gc2[gids]
+        )
+        return inliers / float(cfg.lr_top_attn)
 
     _, new_local = rerank_shortlist_batched(
         scores, local_idx, scorer, blend=cfg.rerank_blend

@@ -24,6 +24,7 @@ from research_image_retrieval_tpu.index.rerank import (
     rerank_shortlist,
     rerank_shortlist_batched,
     make_cvnet_batch_scorer,
+    geometric_verification_batch,
     geometric_verification_score,
     mutual_nn_matches,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "superglobal_rerank",
     "gem_aggregate",
     "make_cvnet_batch_scorer",
+    "geometric_verification_batch",
     "geometric_verification_score",
     "mutual_nn_matches",
     "extract_vectors",

@@ -169,3 +169,72 @@ class TestBatchedCVNetRerank:
         got = rerank_shortlist_batched(scores, indices, scorer, blend=0.5)
         np.testing.assert_allclose(got[0], want[0], rtol=1e-4, atol=1e-6)
         np.testing.assert_array_equal(got[1], want[1])
+
+
+class TestGeometricVerificationBatch:
+    """Vectorized RANSAC (geometric_verification_batch) against the
+    sequential per-pair verifier on structured geometry."""
+
+    def _pair(self, rng, L=32, D=16, affine=None, outliers=0):
+        desc = rng.standard_normal((L, D)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        ca = rng.uniform(0, 13, (L, 2)).astype(np.float32)
+        if affine is None:
+            cb = rng.uniform(0, 13, (L, 2)).astype(np.float32)
+        else:
+            M, t = affine
+            cb = (ca @ M.T + t).astype(np.float32)
+            if outliers:
+                cb[:outliers] = rng.uniform(0, 13, (outliers, 2))
+        return desc, ca, cb
+
+    def test_consistent_geometry_high_counts(self):
+        from research_image_retrieval_tpu.index import (
+            geometric_verification_batch,
+            geometric_verification_score,
+        )
+
+        rng = np.random.default_rng(17)
+        P, L = 5, 32
+        qd, qxy, gd, gxy = [], [], [], []
+        want_seq = []
+        for p in range(P):
+            M = np.array([[1.1, 0.05], [-0.03, 0.95]])
+            t = np.array([2.0, -1.0])
+            desc, ca, cb = self._pair(rng, L=L, affine=(M, t), outliers=4)
+            qd.append(desc); qxy.append(ca)
+            gd.append(desc); gxy.append(cb)
+            want_seq.append(
+                geometric_verification_score(desc, ca, desc, cb)
+            )
+        got = geometric_verification_batch(
+            np.stack(qd), np.stack(qxy), np.stack(gd), np.stack(gxy),
+            chunk=3,  # force a padded tail chunk
+        )
+        # identical descriptors -> mutual matches are the identity, so
+        # both implementations see the same match set; RANSAC sampling
+        # differs but both find the full consensus (>= 28 exact inliers;
+        # an outlier can land inside the radius by chance)
+        np.testing.assert_array_equal(got, np.asarray(want_seq))
+        assert np.all(got >= L - 4)
+
+    def test_random_geometry_and_min_matches(self):
+        from research_image_retrieval_tpu.index import (
+            geometric_verification_batch,
+        )
+
+        rng = np.random.default_rng(3)
+        desc, ca, cb = self._pair(rng, L=32)  # random geometry
+        got = geometric_verification_batch(
+            desc[None], ca[None], desc[None], cb[None]
+        )
+        assert got.shape == (1,)
+        assert got[0] <= 8  # no consensus on random coords
+
+        # descriptors with NO mutual matches above min_sim -> 0
+        d2 = rng.standard_normal((32, 16)).astype(np.float32)
+        d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+        got2 = geometric_verification_batch(
+            desc[None], ca[None], (-desc)[None], cb[None], min_sim=0.9
+        )
+        assert got2[0] == 0.0
