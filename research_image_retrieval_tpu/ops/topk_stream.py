@@ -35,27 +35,8 @@ __all__ = [
 _NEG = -jnp.inf
 
 
-def _split_queries_bf16x3(q32: jnp.ndarray) -> jnp.ndarray:
-    """[Q, D] fp32 -> [3Q, D] bf16 (hi, mid, lo) with q ≈ hi + mid + lo.
-
-    One-sided fp32 emulation for a bf16-stored gallery: every gallery
-    value is EXACTLY representable in bf16, so only the query side needs
-    splitting.  Each bf16 x bf16 product is exact in the MXU's fp32
-    accumulator, and the three partial score matrices sum to the same
-    fp32-precision scores XLA's own ``Precision.HIGHEST`` f32 matmul
-    emulation produces — but in 3 MXU passes instead of its 6 (it must
-    split BOTH operands), and with the gallery read once.  hi covers
-    mantissa bits 1-8, mid 9-16, lo 17-24 >= fp32's 24.
-    """
-    hi = q32.astype(jnp.bfloat16)
-    r1 = q32 - hi.astype(jnp.float32)
-    mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.concatenate([hi, mid, lo], axis=0)
-
-
 def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
-                 fp32_split: bool = False):
+                 precision=None):
     """Shared streaming driver: lax.scan over gallery chunks, carrying the
     running [Q, k] winners; ``select_fn(scores, kk)`` picks per-chunk
     candidates (exact lax.top_k or the TPU approx_max_k reduction).
@@ -76,20 +57,13 @@ def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
         gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
     chunks = gallery.reshape(-1, chunk, D)
     kk = min(k, chunk)
-    if fp32_split:
-        queries = _split_queries_bf16x3(queries.astype(jnp.float32))
 
     def body(carry, inp):
         run_s, run_i = carry
         g_chunk, base = inp
-        if fp32_split:
-            # single bf16 MXU matmul over [3Q, D]; partials summed lo-first
-            s3 = jnp.matmul(queries, g_chunk.T,
-                            preferred_element_type=jnp.float32)
-            scores = s3[:Q] + (s3[Q:2 * Q] + s3[2 * Q:])
-        else:
-            scores = jnp.matmul(queries, g_chunk.astype(compute_dtype).T,
-                                preferred_element_type=jnp.float32)
+        scores = jnp.matmul(queries, g_chunk.astype(compute_dtype).T,
+                            preferred_element_type=jnp.float32,
+                            precision=precision)
         ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
         scores = jnp.where(ids < n_valid, scores, _NEG)
         s, i = select_fn(scores, kk)
@@ -161,7 +135,7 @@ def scan_streaming_topk(
     chunk: int = 4096,
     n_valid=None,
     grouped: bool = True,
-    fp32_split: bool | None = None,
+    exact_fp32_scores: bool = False,
 ):
     """Portable EXACT streaming top-k: lax.scan over gallery chunks.
 
@@ -173,23 +147,27 @@ def scan_streaming_topk(
     plain ``lax.top_k`` per chunk.  ``n_valid`` (possibly traced) masks
     globally-padded rows for sharded callers.
 
-    ``fp32_split`` (default: auto — on for a bf16 gallery on TPU) scores
-    through the one-sided bf16x3 query split (_split_queries_bf16x3):
-    fp32-precision scores from 3 native bf16 MXU passes instead of the
-    ~6-pass two-sided emulation XLA runs for an f32 matmul — the matmul
-    was the exact engine's bottleneck, not the HBM stream (BENCH.md).
+    Scoring-precision semantics (measured on-chip, BENCH.md): "exact"
+    means exact top-k UNDER THE PLATFORM'S DEFAULT MATMUL PRECISION.  On
+    TPU the default f32 matmul quantizes its INPUTS to bf16 before the
+    single fp32-accumulating MXU pass (verified bitwise:
+    |default - explicit_bf16_1pass| = 0 at 70 x 175k x 2048) — the same
+    semantics class as torch's TF32-default scoring on the reference's
+    GPUs.  ``exact_fp32_scores=True`` scores with
+    ``Precision.HIGHEST`` (XLA's 6-pass bf16 emulation of a true f32
+    matmul) for ~16% more per-chunk matmul time — at retrieval's Q<<N
+    shapes the scoring matmul is HBM-bandwidth-bound, so full fp32
+    precision is nearly free.  (A hand-rolled one-sided hi/mid/lo query
+    split was tried first and is NOT usable: XLA's allow_excess_precision
+    folds convert(bf16(x) -> f32) back to x, silently zeroing the
+    mid/lo correction terms — and even barrier-guarded it loses to
+    HIGHEST, which never materializes the 3x score matrix.)
     """
-    if fp32_split is None:
-        platform = jax.devices()[0].platform
-        fp32_split = (
-            jnp.asarray(gallery).dtype == jnp.bfloat16
-            and platform in ("tpu", "axon")
-        )
     return _scan_stream(
         queries, gallery, k, chunk, n_valid,
         select_fn=_grouped_exact_select if grouped else jax.lax.top_k,
         compute_dtype=jnp.float32,
-        fp32_split=bool(fp32_split),
+        precision=(jax.lax.Precision.HIGHEST if exact_fp32_scores else None),
     )
 
 

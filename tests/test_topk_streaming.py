@@ -61,40 +61,31 @@ class TestScanStreaming:
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
 
 
-class TestFp32Split:
-    """One-sided bf16x3 split scoring for bf16 galleries (the TPU exact
-    engine's matmul: 3 native passes instead of XLA's ~6-pass f32
-    emulation)."""
+class TestScorePrecision:
+    """The ``exact_fp32_scores`` mode: Precision.HIGHEST scoring for a
+    bf16 gallery.  "Exact" by default means exact top-k under the
+    platform's default matmul precision (on TPU: bf16-quantized inputs,
+    fp32 accumulation — the TF32-default semantics class of the
+    reference's torch scoring); HIGHEST restores true fp32 scores."""
 
-    def test_split_decomposition_is_lossless(self):
-        rng = np.random.default_rng(77)
-        q = rng.standard_normal((5, 64)).astype(np.float32)
-        from research_image_retrieval_tpu.ops.topk_stream import (
-            _split_queries_bf16x3,
-        )
-        q3 = np.asarray(_split_queries_bf16x3(jnp.asarray(q)), np.float32)
-        hi, mid, lo = q3[:5], q3[5:10], q3[10:]
-        # hi+mid+lo reconstructs q to full fp32 precision
-        np.testing.assert_allclose(hi + mid + lo, q, rtol=0, atol=1e-30)
-
-    def test_split_matches_dense_on_bf16_gallery(self):
+    def test_highest_matches_dense_on_bf16_gallery(self):
         rng = np.random.default_rng(78)
         q, g = _data(rng, n=1500, q=9, d=96)
         g16 = jnp.asarray(g, jnp.bfloat16)
         s_ref, i_ref = search_topk(q, np.asarray(g16, np.float32), k=30)
-        s, i = scan_streaming_topk(q, g16, k=30, chunk=400, fp32_split=True)
+        s, i = scan_streaming_topk(q, g16, k=30, chunk=400,
+                                   exact_fp32_scores=True)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                    rtol=1e-6, atol=1e-6)
 
-    def test_split_vs_unsplit_same_indices(self):
+    def test_highest_vs_default_same_indices(self):
         rng = np.random.default_rng(79)
         q, g = _data(rng, n=2000, q=7, d=64)
         g16 = jnp.asarray(g, jnp.bfloat16)
         s_a, i_a = scan_streaming_topk(q, g16, k=25, chunk=512,
-                                       fp32_split=True)
-        s_b, i_b = scan_streaming_topk(q, g16, k=25, chunk=512,
-                                       fp32_split=False)
+                                       exact_fp32_scores=True)
+        s_b, i_b = scan_streaming_topk(q, g16, k=25, chunk=512)
         np.testing.assert_array_equal(np.asarray(i_a), np.asarray(i_b))
         np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b),
-                                   rtol=1e-6, atol=1e-6)
+                                   rtol=1e-5, atol=1e-5)
