@@ -426,6 +426,16 @@ class TorchSpCa(tnn.Module):
 
 
 def test_spca_whole_model_parity():
+    _spca_parity(S)
+
+
+def test_spca_whole_model_parity_224():
+    """Eval-like resolution: the 7x7 stage-5 grid exercises the 49x49
+    spatial-context distance encodings (masks are 2x2-trivial at 64px)."""
+    _spca_parity(224)
+
+
+def _spca_parity(size):
     rng = np.random.default_rng(25)
     torch.manual_seed(25)
     oracle = TorchSpCa().eval()
@@ -457,7 +467,7 @@ def test_spca_whole_model_parity():
     model = get_model("spca_r50", backbone_name="resnet18", outputdim=32,
                       K=8, local_dim=16, multi=1, combine="cro",
                       mediumdim=512, num_classes=5)
-    x = _images(rng)
+    x = _images(rng, size=size)
     with torch.no_grad():
         want = oracle(torch.from_numpy(x)).numpy()
     got = _extract(
