@@ -29,6 +29,7 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from research_image_retrieval_tpu.ops.masking import (
     ceil_half,
@@ -81,6 +82,57 @@ def _apply_mask(y: jnp.ndarray, extents: jnp.ndarray | None) -> jnp.ndarray:
     if extents is None:
         return y
     return y * hw_mask(y.shape[1], y.shape[2], extents, dtype=y.dtype)[..., None]
+
+
+class _StemKernel(nn.Module):
+    """Bare [7, 7, 3, 64] stem kernel at the same pytree path / init as
+    ``nn.Conv(name="conv1")`` — so the space-to-depth stem below stays
+    checkpoint-compatible with the standard stem."""
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
+def _space_to_depth_stem(x: jnp.ndarray, kernel: jnp.ndarray, dtype):
+    """The 7x7/2 stem conv computed in space-to-depth(2) form — exact.
+
+    The 3-channel 7x7 conv is the single most MXU-hostile op in the net
+    (measured 9.5 ms of a 37 ms GeM-R50 extract @1024/b16 — ~8% of its
+    roofline; BENCH.md): its im2col contraction depth is 7*7*3 = 147 and
+    the input occupies 3 of 8 sublanes.  Rewriting input and kernel
+    through space-to-depth(2) gives a 4x4 stride-1 conv over 12 channels
+    — identical arithmetic (every tap multiplies the same pixel by the
+    same weight; the kernel is zero-padded 7->8 so out-of-range taps
+    vanish).
+
+    HONEST NEGATIVE RESULT (BENCH.md): the conv itself runs 1.56x faster
+    on-chip (9.52 -> 6.11 ms/b16 @1024), but END-TO-END the flag LOSES
+    (extract 37.6 -> 43.0 ms @1024/b16; 4.30 -> 5.38 ms @224/b64):
+    the on-device pad + 6D reshape/transpose that forms the
+    space-to-depth input materializes an extra full-image round-trip
+    through HBM, costing more than the conv saves.  Kept (exact,
+    parity-tested, checkpoint-compatible) for pipelines that can deliver
+    pre-transformed input; default OFF everywhere.
+
+    x: [B, H, W, 3] -> [B, ceil(H/2), ceil(W/2), 64].
+    """
+    B, H, W, C = x.shape
+    # SAME padding of the 7x7/2 conv (3 each side) + bottom/right zero to
+    # an even padded extent; the extra row/col only meets zero kernel taps
+    p = jnp.pad(x, ((0, 0), (3, 3 + (H % 2)), (3, 3 + (W % 2)), (0, 0)))
+    Ph, Pw = p.shape[1], p.shape[2]
+    p2 = p.reshape(B, Ph // 2, 2, Pw // 2, 2, C)
+    p2 = p2.transpose(0, 1, 3, 2, 4, 5).reshape(B, Ph // 2, Pw // 2, 4 * C)
+    k = jnp.pad(kernel, ((0, 1), (0, 1), (0, 0), (0, 0)))  # 7x7 -> 8x8
+    k = k.reshape(4, 2, 4, 2, C, kernel.shape[-1])
+    k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, kernel.shape[-1])
+    dn = lax.conv_dimension_numbers(p2.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    return lax.conv_general_dilated(
+        p2.astype(dtype), k.astype(dtype), (1, 1), "VALID",
+        dimension_numbers=dn,
+    )
 
 
 class BottleneckBlock(nn.Module):
@@ -216,6 +268,12 @@ class ResNet(nn.Module):
     out_stages: Sequence[int] = (5,)
     dilation_block5: bool = False
     stride_on_conv1: bool = False
+    # compute the 7x7/2 stem in space-to-depth(2) form — identical math,
+    # same "conv1" param tree (checkpoint-compatible).  Measured NET LOSS
+    # end-to-end on-chip (the input transform outweighs the conv gain —
+    # see _space_to_depth_stem); keep False unless input arrives
+    # pre-transformed
+    stem_s2d: bool = False
     dtype: Any = jnp.float32
 
     @property
@@ -250,10 +308,14 @@ class ResNet(nn.Module):
 
         # stem (block1): 7x7/2 conv + BN + relu + 3x3/2 maxpool
         x = _apply_mask(x, ext)
-        y = nn.Conv(
-            64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        if self.stem_s2d:
+            y = _space_to_depth_stem(x, _StemKernel(name="conv1")(),
+                                     self.dtype)
+        else:
+            y = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(x)
         y = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

@@ -45,6 +45,7 @@ class GeMModel(nn.Module):
     s: float = 32.0
     m: float = 0.15
     dilation_block5: bool = False
+    stem_s2d: bool = False  # space-to-depth stem (exact; see backbone.py)
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -52,6 +53,7 @@ class GeMModel(nn.Module):
             name_=self.backbone_name,
             out_stages=(5,),
             dilation_block5=self.dilation_block5,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
         )
         self.whiten = nn.Dense(self.outputdim, use_bias=True, dtype=jnp.float32,

@@ -136,6 +136,7 @@ def scan_streaming_topk(
     n_valid=None,
     grouped: bool = True,
     exact_fp32_scores: bool = False,
+    group: int = 128,
 ):
     """Portable EXACT streaming top-k: lax.scan over gallery chunks.
 
@@ -163,9 +164,13 @@ def scan_streaming_topk(
     mid/lo correction terms — and even barrier-guarded it loses to
     HIGHEST, which never materializes the 3x score matrix.)
     """
+    select = (
+        (lambda s, kk: _grouped_exact_select(s, kk, group=group))
+        if grouped else jax.lax.top_k
+    )
     return _scan_stream(
         queries, gallery, k, chunk, n_valid,
-        select_fn=_grouped_exact_select if grouped else jax.lax.top_k,
+        select_fn=select,
         compute_dtype=jnp.float32,
         precision=(jax.lax.Precision.HIGHEST if exact_fp32_scores else None),
     )

@@ -12,6 +12,7 @@ import pytest
 import torch
 import torch.nn as tnn
 
+import jax
 import jax.numpy as jnp
 
 from research_image_retrieval_tpu.models import (
@@ -179,3 +180,49 @@ def test_train_mode_updates_batch_stats(rng):
     after = mutated["batch_stats"]["bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestS2DStem:
+    """The space-to-depth stem is the SAME function as the standard 7x7/2
+    stem (zero-padded kernel taps; see backbone._space_to_depth_stem) on
+    the same "conv1" param tree."""
+
+    @pytest.mark.parametrize("size", [64, 63])  # even + odd extents
+    def test_matches_standard_stem(self, size):
+        gen = np.random.default_rng(41)
+        x = gen.standard_normal((2, 3, size, size)).astype(np.float32)
+        torch.manual_seed(41)
+        oracle = TorchResNet("resnet50").eval()
+        with torch.no_grad():
+            randomize_bn_stats(oracle, gen)
+        variables = convert_torch_resnet(oracle.state_dict(), "resnet50")
+        xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+        outs = {}
+        for s2d in (False, True):
+            bb = ResNet(name_="resnet50", out_stages=(5,), stem_s2d=s2d)
+            outs[s2d] = np.asarray(bb.apply(variables, xj, train=False))
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=1e-5, atol=1e-5)
+        with torch.no_grad():
+            want = oracle(torch.from_numpy(x), taps=(5,))[5].numpy()
+        got = np.transpose(outs[True], (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    def test_masked_bucket_equivalence(self):
+        """Padded-bucket extraction with the s2d stem bit-matches the
+        exact-shape run on the valid cells (the masked-extract contract)."""
+        gen = np.random.default_rng(42)
+        bb = ResNet(name_="resnet18", out_stages=(5,), stem_s2d=True)
+        exact = gen.standard_normal((1, 64, 48, 3)).astype(np.float32)
+        variables = bb.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 32, 32, 3), np.float32), train=False)
+        padded = np.zeros((1, 96, 96, 3), np.float32)
+        padded[:, :64, :48] = exact
+        got = np.asarray(bb.apply(
+            variables, jnp.asarray(padded), train=False,
+            valid_hw=jnp.asarray([[64, 48]], jnp.int32),
+        ))
+        want = np.asarray(bb.apply(variables, jnp.asarray(exact), train=False))
+        eh, ew = want.shape[1], want.shape[2]
+        np.testing.assert_allclose(got[:, :eh, :ew], want, rtol=1e-5,
+                                   atol=1e-6)
