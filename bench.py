@@ -153,7 +153,7 @@ def _topk_1p4m(timed_slope):
     g.block_until_ready()
     q = jax.random.normal(jax.random.PRNGKey(1), (Q, D), jnp.float32)
     q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-    chunk = 175_000  # ~N/8: med-best for the exact engine on-chip
+    chunk = 350_000  # ~N/4 at group=256: best across round-3 load windows
 
     def mk_step(fn):
         def step(x, g):

@@ -8,9 +8,10 @@ score matrix in HBM is the bottleneck at GLDv2 scale (70 x 1.4M fp32 =
 
 * ``scan_streaming_topk`` — the EXACT engine: fp32 scoring with a
   group-max pre-filtered selection per chunk (bit-identical to a full
-  sort; 12.6 ms for top-100 over 1.4M x 2048 bf16 on one v5e chip).
+  sort; 10.6-12.7 ms for top-100 over 1.4M x 2048 bf16 on one v5e chip
+  at the tuned group=256 / chunk=N/4 point, BENCH.md round-3 matrix).
 * ``approx_streaming_topk`` — the serving engine: bf16 scoring +
-  ``lax.approx_max_k`` (9.6 ms at recall@100 = 0.9994, ~73% of HBM
+  ``lax.approx_max_k`` (5.3-9.7 ms at recall@100 = 0.9994, near HBM
   speed-of-light).
 
 A hand-written Pallas kernel (``pallas_streaming_topk``) existed through
@@ -81,7 +82,7 @@ def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
     return scores, jnp.clip(idx, 0, N - 1)
 
 
-def _grouped_exact_select(scores: jnp.ndarray, kk: int, group: int = 128):
+def _grouped_exact_select(scores: jnp.ndarray, kk: int, group: int = 256):
     """EXACT top-kk via group-max pre-filtering.
 
     The top-kk elements always lie inside the top-kk groups by group-max:
@@ -136,7 +137,7 @@ def scan_streaming_topk(
     n_valid=None,
     grouped: bool = True,
     exact_fp32_scores: bool = False,
-    group: int = 128,
+    group: int = 256,
 ):
     """Portable EXACT streaming top-k: lax.scan over gallery chunks.
 
@@ -213,16 +214,17 @@ def approx_streaming_topk(
 def streaming_topk(queries, gallery, k: int = 100, chunk: int | None = None,
                    exact: bool = True):
     """Dispatch: exact grouped scan stream, or the approx serving path on
-    TPU.  With no explicit ``chunk``, the exact path picks ~N/8 chunks on
-    TPU (the approx path picks ~N/2; both from on-chip median sweeps,
-    BENCH.md) and a small cache-friendly chunk elsewhere."""
+    TPU.  With no explicit ``chunk``, the exact path picks ~N/4 chunks on
+    TPU (the approx path picks ~N/2; both from on-chip sweeps at
+    group=256, BENCH.md round-3 matrix) and a small cache-friendly chunk
+    elsewhere."""
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     if not exact and on_tpu:
         return approx_streaming_topk(queries, gallery, k=k, chunk=chunk)
     if chunk is None:
         N = jnp.asarray(gallery).shape[0]
-        # exact selection prefers smaller chunks than the approx path
-        # (~N/8 med-best on-chip: less VMEM pressure per grouped select)
-        chunk = min(max(-(-N // 8), 8192), N) if on_tpu else 4096
+        # round-3 on-chip matrix (BENCH.md): at group=256, ~N/4 chunks
+        # beat ~N/8 in every load window (10.6-12.7 vs 13.5-16.8 ms)
+        chunk = min(max(-(-N // 4), 8192), N) if on_tpu else 4096
     return scan_streaming_topk(queries, gallery, k=k, chunk=chunk)
