@@ -32,6 +32,8 @@ from research_image_retrieval_tpu.ops.losses import (
 from research_image_retrieval_tpu.ops.topk_stream import (
     scan_streaming_topk,
     approx_streaming_topk,
+    int8_streaming_topk,
+    quantize_gallery_int8,
     streaming_topk,
 )
 from research_image_retrieval_tpu.ops.gem_pallas import (
@@ -59,6 +61,8 @@ __all__ = [
     "topk_errors",
     "scan_streaming_topk",
     "approx_streaming_topk",
+    "int8_streaming_topk",
+    "quantize_gallery_int8",
     "streaming_topk",
     "pallas_gem_whiten_l2",
     "gem_whiten_l2_reference",
