@@ -12,9 +12,11 @@ so tail-parsers keep working.  Metrics:
 * ``gem_r50_train_imgs_per_sec_512_b32_arcface81313`` — full train-step
   throughput (fwd+bwd+SGD) at the reference recipe's 512px with the real
   81,313-class ArcFace head, per chip.
-* ``exact_top100_ms_1p4M`` / ``approx_top100_ms_1p4M`` — streaming top-k
-  engines over the 1.4M x 2048 bf16 GLDv2-scale index (<10 ms BASELINE
-  target, budgeted for 8 chips, measured on one).
+* ``exact_top100_ms_1p4M`` / ``approx_top100_ms_1p4M`` /
+  ``int8_top100_ms_1p4M`` — streaming top-k engines over the
+  1.4M x 2048 GLDv2-scale index (<10 ms BASELINE target, budgeted for
+  8 chips, measured on one).  The int8 engine streams a symmetric
+  per-row-quantized gallery (half the HBM bytes of bf16).
 
 Timing uses the chained-dependency slope method (utils.benchtime): on this
 rig block_until_ready acks asynchronously through the remote tunnel, so
@@ -138,6 +140,8 @@ def _train_step_512(get_model, timed_slope):
 def _topk_1p4m(timed_slope):
     from research_image_retrieval_tpu.ops import (
         approx_streaming_topk,
+        int8_streaming_topk,
+        quantize_gallery_int8,
         scan_streaming_topk,
     )
 
@@ -156,19 +160,25 @@ def _topk_1p4m(timed_slope):
     chunk = 350_000  # ~N/4 at group=256: best across round-3 load windows
 
     def mk_step(fn):
-        def step(x, g):
-            s, _ = fn(x, g)
+        def step(x, *a):
+            s, _ = fn(x, *a)
             return x + jnp.mean(s) * 1e-12
         return step
 
+    qg, gscales = jax.jit(quantize_gallery_int8)(g)
+    qg.block_until_ready()
+
     out = []
-    for name, fn in (
+    for name, fn, fargs in (
         ("exact_top100_ms_1p4M",
-         lambda q, g: scan_streaming_topk(q, g, k=K, chunk=chunk)),
+         lambda q, g: scan_streaming_topk(q, g, k=K, chunk=chunk), (g,)),
         ("approx_top100_ms_1p4M",
-         lambda q, g: approx_streaming_topk(q, g, k=K)),
+         lambda q, g: approx_streaming_topk(q, g, k=K), (g,)),
+        ("int8_top100_ms_1p4M",
+         lambda q, qg, gs: int8_streaming_topk(q, qg, gs, k=K, chunk=chunk),
+         (qg, gscales)),
     ):
-        sec = timed_slope(mk_step(fn), q, n_small=2, n_large=6, args=(g,))
+        sec = timed_slope(mk_step(fn), q, n_small=2, n_large=6, args=fargs)
         ms = sec * 1e3
         out.append({
             "metric": name,
@@ -185,6 +195,13 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from research_image_retrieval_tpu.models import get_model
     from research_image_retrieval_tpu.utils.benchtime import timed_slope
+    from research_image_retrieval_tpu.utils.compile_cache import (
+        enable_persistent_cache,
+    )
+
+    # compiles dominate a cold run on the 1-core host (~60-80 s per large
+    # program); the persistent cache makes repeat driver runs near-free
+    enable_persistent_cache()
 
     t0 = time.time()
     # the full suite takes ~15 min on the tunnel rig (5 large compiles);

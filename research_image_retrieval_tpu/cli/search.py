@@ -6,7 +6,11 @@ the streaming engines of ops/topk_stream.py).
 
     python -m research_image_retrieval_tpu.cli.search \
         --gallery gallery.npz --queries queries.npz --topk 10 \
-        [--approx] [--alpha-qe] --output results.json
+        [--engine exact|approx|int8] [--alpha-qe] --output results.json
+
+Engines: ``exact`` (grouped bit-exact stream, the default), ``approx``
+(``lax.approx_max_k``), ``int8`` (symmetric per-row quantized gallery —
+half the HBM stream bytes; see ops/topk_stream.py).
 """
 
 from __future__ import annotations
@@ -20,8 +24,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gallery", required=True, help=".npz from rir-extract")
     p.add_argument("--queries", required=True, help=".npz from rir-extract")
     p.add_argument("--topk", type=int, default=100)
+    p.add_argument("--engine", choices=("exact", "approx", "int8"),
+                   default=None,
+                   help="top-k engine (default exact; int8 = quantized "
+                        "gallery serving path)")
     p.add_argument("--approx", action="store_true",
-                   help="approx_max_k serving engine (exact is the default)")
+                   help="alias for --engine approx (kept for back-compat)")
     p.add_argument("--alpha-qe", action="store_true")
     p.add_argument("--qe-k", type=int, default=10)
     p.add_argument("--qe-alpha", type=float, default=3.0)
@@ -41,7 +49,11 @@ def main(argv=None):
     import numpy as np
 
     from research_image_retrieval_tpu.index import alpha_query_expansion
-    from research_image_retrieval_tpu.ops import streaming_topk
+    from research_image_retrieval_tpu.ops import (
+        int8_streaming_topk,
+        quantize_gallery_int8,
+        streaming_topk,
+    )
 
     gal = np.load(args.gallery, allow_pickle=False)
     qry = np.load(args.queries, allow_pickle=False)
@@ -54,8 +66,14 @@ def main(argv=None):
                                   alpha=args.qe_alpha)
         )
 
+    engine = args.engine or ("approx" if args.approx else "exact")
     k = min(args.topk, len(gvecs))
-    scores, idx = streaming_topk(qvecs, gvecs, k=k, exact=not args.approx)
+    if engine == "int8":
+        qg, gscales = quantize_gallery_int8(gvecs)
+        scores, idx = int8_streaming_topk(qvecs, qg, gscales, k=k)
+    else:
+        scores, idx = streaming_topk(qvecs, gvecs, k=k,
+                                     exact=engine == "exact")
     scores, idx = np.asarray(scores), np.asarray(idx)
 
     results = []

@@ -18,7 +18,9 @@ score matrix in HBM is the bottleneck at GLDv2 scale (70 x 1.4M fp32 =
   native int8 path (s8 x s8 -> s32, then per-pair fp32 rescale).  The
   stream is HBM-bandwidth-bound, and int8 storage halves the gallery
   traffic vs bf16 (2.87 GB vs 5.74 GB at 1.4M x 2048), so its
-  speed-of-light is ~2x the bf16 engines'.
+  speed-of-light is ~2x the bf16 engines'.  ``selection="approx"``
+  swaps the exact group-max selector for ``lax.approx_max_k`` —
+  the lowest-latency configuration (int8 bytes + O(N) selection).
 
 A hand-written Pallas kernel (``pallas_streaming_topk``) existed through
 round 1 but was retired: Mosaic has no sort/top_k primitive, so its
@@ -249,6 +251,8 @@ def int8_streaming_topk(
     chunk: int | None = None,
     n_valid=None,
     group: int = 256,
+    selection: str = "exact",
+    recall_target: float = 0.99,
 ):
     """Quantized streaming top-k over an int8 gallery (serving path).
 
@@ -271,7 +275,14 @@ def int8_streaming_topk(
       q_gallery: [N, D] int8 from ``quantize_gallery_int8``.
       g_scales: [N] fp32 per-row scales from the same call.
       n_valid: mask rows with global id >= n_valid (sharded callers).
+      selection: "exact" (group-max pre-filter — true top-k of the
+        quantized scores) or "approx" (``lax.approx_max_k`` per chunk at
+        ``recall_target`` — the fastest engine: int8 stream bytes AND
+        the O(N) partial-reduction selector).
     """
+    if selection not in ("exact", "approx"):
+        raise ValueError(f"selection must be 'exact' or 'approx', "
+                         f"got {selection!r}")
     queries = jnp.asarray(queries, jnp.float32)
     q_gallery = jnp.asarray(q_gallery)
     assert q_gallery.dtype == jnp.int8, q_gallery.dtype
@@ -309,7 +320,11 @@ def int8_streaming_topk(
         scores = s32.astype(jnp.float32) * (q_scale[:, None] * s_chunk[None, :])
         ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
         scores = jnp.where(ids < n_valid, scores, _NEG)
-        s, i = _grouped_exact_select(scores, kk, group=group)
+        if selection == "approx":
+            s, i = jax.lax.approx_max_k(scores, kk,
+                                        recall_target=recall_target)
+        else:
+            s, i = _grouped_exact_select(scores, kk, group=group)
         cand_s = jnp.concatenate([run_s, s], axis=1)
         cand_i = jnp.concatenate([run_i, i + base], axis=1)
         s2, sel = jax.lax.top_k(cand_s, k)

@@ -89,6 +89,7 @@ def sharded_streaming_topk(
     mesh: Mesh | None = None,
     axis: str = "data",
     chunk: int = 65536,
+    engine: str = "exact",
 ):
     """ICI-sharded search with per-shard STREAMING top-k.
 
@@ -98,11 +99,21 @@ def sharded_streaming_topk(
     then the shards' candidates merge over the mesh axis.  Peak per-device
     memory is O(Q * (k + chunk)) regardless of shard size — the layout for
     galleries that fill HBM.
+
+    ``engine="int8"`` stores each device's shard as symmetric per-row int8
+    (``ops.topk_stream.quantize_gallery_int8``) and streams it through the
+    quantized s8 x s8 -> s32 engine — half the per-device HBM footprint
+    AND half the stream bytes; selection/merge stay exact w.r.t. the
+    quantized scores.
     """
     from research_image_retrieval_tpu.ops.topk_stream import (
+        int8_streaming_topk,
+        quantize_gallery_int8,
         scan_streaming_topk,
     )
 
+    if engine not in ("exact", "int8"):
+        raise ValueError(f"engine must be 'exact' or 'int8', got {engine!r}")
     if mesh is None:
         devs = jax.devices()
         mesh = Mesh(
@@ -119,28 +130,42 @@ def sharded_streaming_topk(
     shard_n = gallery.shape[0] // n_shards
     local_chunk = min(chunk, shard_n)
 
+    if engine == "int8":
+        # quantization is per-row, so quantize-then-shard == shard-then-
+        # quantize; scales ride along as a [N] fp32 vector sharded the
+        # same way (pad rows are all-zero -> scale eps, masked anyway)
+        gallery, g_scales = jax.jit(quantize_gallery_int8)(gallery)
+    else:
+        g_scales = jnp.zeros((gallery.shape[0],), jnp.float32)  # unused
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=(P(), P(axis, None), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    def local_stream_merge(q, g_shard):
+    def local_stream_merge(q, g_shard, s_shard):
         kk = min(k, shard_n)
         shard_id = jax.lax.axis_index(axis)
         # rows of this shard with global id >= N are padding — mask BEFORE
         # the local selection so a zero pad row can't displace a real
         # negative-similarity neighbor inside the shard
         n_valid_local = jnp.clip(N - shard_id * shard_n, 0, shard_n)
-        s, i = scan_streaming_topk(
-            q, g_shard, k=kk, chunk=local_chunk, n_valid=n_valid_local
-        )
+        if engine == "int8":
+            s, i = int8_streaming_topk(
+                q, g_shard, s_shard, k=kk, chunk=local_chunk,
+                n_valid=n_valid_local,
+            )
+        else:
+            s, i = scan_streaming_topk(
+                q, g_shard, k=kk, chunk=local_chunk, n_valid=n_valid_local
+            )
         gi = i + shard_id * shard_n
         all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
         all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
         ms, mi = jax.lax.top_k(all_s, k)
         return ms, jnp.take_along_axis(all_i, mi, axis=1)
 
-    scores, idx = jax.jit(local_stream_merge)(queries, gallery)
+    scores, idx = jax.jit(local_stream_merge)(queries, gallery, g_scales)
     return scores, jnp.clip(idx, 0, N - 1)

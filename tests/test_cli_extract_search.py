@@ -50,3 +50,23 @@ def test_extract_then_search(tmp_path, rng):
     for qi, r in enumerate(res):
         assert r["matches"][0]["name"] == str(qi)
         assert r["matches"][0]["score"] > 0.999
+
+
+def test_search_engine_int8(tmp_path, rng):
+    """`rir-search --engine int8` runs the quantized serving path; on
+    well-separated synthetic descriptors its top-1 matches exact."""
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    npz = tmp_path / "v.npz"
+    np.savez(npz, vecs=vecs, names=np.arange(40))
+
+    out = tmp_path / "res_int8.json"
+    rc = search_main([
+        "--gallery", str(npz), "--queries", str(npz),
+        "--topk", "3", "--engine", "int8", "--output", str(out),
+    ])
+    assert rc == 0
+    res = json.loads(out.read_text())
+    for qi, r in enumerate(res):
+        assert r["matches"][0]["name"] == str(qi)
+        assert r["matches"][0]["score"] > 0.99

@@ -18,6 +18,10 @@ import pytest
 import jax.numpy as jnp
 
 from research_image_retrieval_tpu.index import search_topk
+from research_image_retrieval_tpu.parallel import (
+    make_mesh,
+    sharded_streaming_topk,
+)
 from research_image_retrieval_tpu.ops.topk_stream import (
     int8_streaming_topk,
     quantize_gallery_int8,
@@ -112,6 +116,28 @@ class TestInt8Engine:
         _, i = int8_streaming_topk(qs, qg, gs, k=8, chunk=16, n_valid=60)
         assert (np.asarray(i) < 60).all()
 
+    def test_approx_selection(self, rng):
+        """selection='approx' keeps high recall vs the exact selector on
+        the same quantized gallery (cross-chunk merge stays exact)."""
+        qs = _unit(rng, 6, 96)
+        g = _unit(rng, 4096, 96)
+        qg, gs = quantize_gallery_int8(g)
+        _, i_ex = int8_streaming_topk(qs, qg, gs, k=10, chunk=1024)
+        _, i_ap = int8_streaming_topk(qs, qg, gs, k=10, chunk=1024,
+                                      selection="approx",
+                                      recall_target=0.99)
+        i_ex, i_ap = np.asarray(i_ex), np.asarray(i_ap)
+        recall = np.mean([
+            len(set(i_ap[q]) & set(i_ex[q])) / 10 for q in range(6)
+        ])
+        assert recall >= 0.8, recall
+
+    def test_bad_selection_raises(self, rng):
+        qs = _unit(rng, 2, 32)
+        qg, gs = quantize_gallery_int8(_unit(rng, 64, 32))
+        with pytest.raises(ValueError, match="selection"):
+            int8_streaming_topk(qs, qg, gs, k=4, selection="nope")
+
     def test_non_divisible_chunk(self, rng):
         qs = _unit(rng, 3, 48)
         g = _unit(rng, 1001, 48)
@@ -119,3 +145,31 @@ class TestInt8Engine:
         s, i = int8_streaming_topk(qs, qg, gs, k=7, chunk=256)
         _, i_ref = int8_streaming_topk(qs, qg, gs, k=7, chunk=1001)
         np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+
+
+class TestShardedInt8:
+    def test_matches_single_device(self, rng):
+        """engine='int8' over the 8-device mesh == single-device int8
+        (quantize-then-shard == shard-then-quantize: per-row scheme)."""
+        qs = _unit(rng, 5, 64)
+        g = _unit(rng, 256, 64)
+        qg, gs = quantize_gallery_int8(g)
+        s_ref, i_ref = int8_streaming_topk(qs, qg, gs, k=9, chunk=32)
+        mesh = make_mesh(data=8, model=1)
+        s, i = sharded_streaming_topk(qs, g, k=9, mesh=mesh, chunk=16,
+                                      engine="int8")
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   rtol=1e-6)
+
+    def test_pad_rows_masked(self, rng):
+        """N not divisible by shards: a pad row must not displace the only
+        true (negative-score) winner of the last shard."""
+        q = np.zeros((1, 4), np.float32)
+        q[0, 0] = 1.0
+        g = -np.tile(q, (10, 1)).astype(np.float32)
+        g[9] = [-0.2, np.sqrt(1 - 0.04), 0, 0]
+        mesh = make_mesh(data=8, model=1)  # shard_n=2, last shard padded
+        s, i = sharded_streaming_topk(q, g, k=1, mesh=mesh, engine="int8")
+        assert int(np.asarray(i)[0, 0]) == 9
+        assert abs(float(np.asarray(s)[0, 0]) - (-0.2)) < 2e-2
