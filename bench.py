@@ -177,6 +177,10 @@ def _topk_1p4m(timed_slope):
         ("int8_top100_ms_1p4M",
          lambda q, qg, gs: int8_streaming_topk(q, qg, gs, k=K, chunk=chunk),
          (qg, gscales)),
+        ("int8_approx_top100_ms_1p4M",
+         lambda q, qg, gs: int8_streaming_topk(q, qg, gs, k=K, chunk=chunk,
+                                               selection="approx"),
+         (qg, gscales)),
     ):
         sec = timed_slope(mk_step(fn), q, n_small=2, n_large=6, args=fargs)
         ms = sec * 1e3

@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max side for thumbnailing (0 = original size)")
     p.add_argument("--multiscale", action="store_true")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--quantize-int8", action="store_true",
+                   help="store the index as symmetric per-row int8 "
+                        "(vecs_int8 + scales; 4x smaller on disk, half "
+                        "the HBM stream in rir-search --engine int8)")
     p.add_argument("--output", required=True)
     return p
 
@@ -105,12 +109,21 @@ def main(argv=None):
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
                            batch_size=args.batch_size, print_freq=100,
                            extent_multiple=multiple)
-    out = {"vecs": np.asarray(vecs, np.float32),
-           "names": np.asarray(names)}
+    vecs = np.asarray(vecs, np.float32)
+    if args.quantize_int8:
+        from research_image_retrieval_tpu.ops import quantize_gallery_int8
+
+        qv, scales_ = quantize_gallery_int8(vecs)
+        out = {"vecs_int8": np.asarray(qv), "scales": np.asarray(scales_),
+               "names": np.asarray(names)}
+    else:
+        out = {"vecs": vecs, "names": np.asarray(names)}
     if labels is not None:
         out["labels"] = np.asarray(labels)
     np.savez(args.output, **out)
-    print(f"wrote {out['vecs'].shape} descriptors -> {args.output}")
+    shape = out.get("vecs", out.get("vecs_int8")).shape
+    kind = "int8 " if args.quantize_int8 else ""
+    print(f"wrote {shape} {kind}descriptors -> {args.output}")
     return 0
 
 

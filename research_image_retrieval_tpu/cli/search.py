@@ -10,7 +10,10 @@ the streaming engines of ops/topk_stream.py).
 
 Engines: ``exact`` (grouped bit-exact stream, the default), ``approx``
 (``lax.approx_max_k``), ``int8`` (symmetric per-row quantized gallery —
-half the HBM stream bytes; see ops/topk_stream.py).
+half the HBM stream bytes; see ops/topk_stream.py).  A gallery written
+by ``rir-extract --quantize-int8`` (``vecs_int8`` + ``scales``) is
+searched with the int8 engine by default, no quantization pass needed;
+other engines (or --alpha-qe) dequantize it in memory.
 """
 
 from __future__ import annotations
@@ -57,8 +60,28 @@ def main(argv=None):
 
     gal = np.load(args.gallery, allow_pickle=False)
     qry = np.load(args.queries, allow_pickle=False)
-    gvecs, qvecs = gal["vecs"], qry["vecs"]
-    gnames = gal["names"] if "names" in gal else np.arange(len(gvecs))
+    qvecs = qry["vecs"]
+
+    # a prequantized index (rir-extract --quantize-int8) stores
+    # vecs_int8 + scales instead of vecs; default to the int8 engine
+    # and only dequantize when another engine (or QE) needs floats
+    prequantized = "vecs_int8" in gal
+    engine = args.engine or (
+        "int8" if prequantized else ("approx" if args.approx else "exact")
+    )
+    qg = gscales = gvecs = None
+    if prequantized:
+        qg, gscales = gal["vecs_int8"], gal["scales"]
+        n_gal = len(qg)
+        if engine != "int8" or args.alpha_qe:
+            gvecs = qg.astype(np.float32) * gscales[:, None]
+            if engine != "int8":
+                print(f"note: {args.gallery} is int8; dequantizing for "
+                      f"--engine {engine}")
+    else:
+        gvecs = gal["vecs"]
+        n_gal = len(gvecs)
+    gnames = gal["names"] if "names" in gal else np.arange(n_gal)
 
     if args.alpha_qe:
         qvecs = np.asarray(
@@ -66,10 +89,10 @@ def main(argv=None):
                                   alpha=args.qe_alpha)
         )
 
-    engine = args.engine or ("approx" if args.approx else "exact")
-    k = min(args.topk, len(gvecs))
+    k = min(args.topk, n_gal)
     if engine == "int8":
-        qg, gscales = quantize_gallery_int8(gvecs)
+        if qg is None:
+            qg, gscales = quantize_gallery_int8(gvecs)
         scores, idx = int8_streaming_topk(qvecs, qg, gscales, k=k)
     else:
         scores, idx = streaming_topk(qvecs, gvecs, k=k,

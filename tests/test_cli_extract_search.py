@@ -52,6 +52,50 @@ def test_extract_then_search(tmp_path, rng):
         assert r["matches"][0]["score"] > 0.999
 
 
+def test_extract_quantized_index_then_search(tmp_path, rng):
+    """rir-extract --quantize-int8 writes vecs_int8+scales; rir-search
+    auto-detects it (int8 engine), and dequantizes for other engines."""
+    rec = tmp_path / "g.rirrec"
+    write_records(str(rec), [(_jpeg(rng), i % 3) for i in range(6)])
+    npz = tmp_path / "gal_q.npz"
+    rc = extract_main([
+        "--model", "gem_r50", "--records", str(rec), "--imsize", "0",
+        "--output", str(npz), "--batch-size", "4", "--quantize-int8",
+    ])
+    assert rc == 0
+    gal = np.load(npz)
+    assert "vecs" not in gal
+    assert gal["vecs_int8"].dtype == np.int8
+    assert gal["scales"].shape == (6,)
+
+    # queries must be float vecs: build them from the dequantized index
+    qnpz = tmp_path / "q.npz"
+    qvecs = gal["vecs_int8"].astype(np.float32) * gal["scales"][:, None]
+    np.savez(qnpz, vecs=qvecs, names=np.arange(6))
+
+    for extra in ([], ["--engine", "exact"]):
+        out = tmp_path / "res_q.json"
+        rc = search_main([
+            "--gallery", str(npz), "--queries", str(qnpz),
+            "--topk", "3", "--output", str(out), *extra,
+        ])
+        assert rc == 0
+        res = json.loads(out.read_text())
+        for qi, r in enumerate(res):
+            assert r["matches"][0]["name"] == str(qi), extra
+
+    # --alpha-qe must dequantize the int8 gallery and run; ranking
+    # assertions are meaningless here (random-init descriptors of random
+    # 32px images are near-identical, so expanded queries collapse)
+    rc = search_main([
+        "--gallery", str(npz), "--queries", str(qnpz),
+        "--topk", "3", "--qe-k", "2", "--alpha-qe",
+        "--output", str(tmp_path / "res_qe.json"),
+    ])
+    assert rc == 0
+    assert len(json.loads((tmp_path / "res_qe.json").read_text())) == 6
+
+
 def test_search_engine_int8(tmp_path, rng):
     """`rir-search --engine int8` runs the quantized serving path; on
     well-separated synthetic descriptors its top-1 matches exact."""
