@@ -13,10 +13,11 @@ so tail-parsers keep working.  Metrics:
   throughput (fwd+bwd+SGD) at the reference recipe's 512px with the real
   81,313-class ArcFace head, per chip.
 * ``exact_top100_ms_1p4M`` / ``approx_top100_ms_1p4M`` /
-  ``int8_top100_ms_1p4M`` — streaming top-k engines over the
-  1.4M x 2048 GLDv2-scale index (<10 ms BASELINE target, budgeted for
-  8 chips, measured on one).  The int8 engine streams a symmetric
-  per-row-quantized gallery (half the HBM bytes of bf16).
+  ``int8_top100_ms_1p4M`` / ``int8_approx_top100_ms_1p4M`` — streaming
+  top-k engines over the 1.4M x 2048 GLDv2-scale index (<10 ms BASELINE
+  target, budgeted for 8 chips, measured on one).  The int8 engines
+  stream a symmetric per-row-quantized gallery (half the HBM bytes of
+  bf16); int8_approx adds the ``approx_max_k`` selector on top.
 
 Timing uses the chained-dependency slope method (utils.benchtime): on this
 rig block_until_ready acks asynchronously through the remote tunnel, so
@@ -208,9 +209,9 @@ def main():
     enable_persistent_cache()
 
     t0 = time.time()
-    # the full suite takes ~15 min on the tunnel rig (5 large compiles);
-    # under a tighter driver budget later points are skipped, never the
-    # headline
+    # the full suite takes ~15-20 min cold on the tunnel rig (7 large
+    # compiles; near-free warm via the persistent cache); under a tighter
+    # driver budget later points are skipped, never the headline
     budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 
     # headline FIRST so it is measured whatever happens later

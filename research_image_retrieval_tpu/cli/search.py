@@ -60,15 +60,24 @@ def main(argv=None):
 
     gal = np.load(args.gallery, allow_pickle=False)
     qry = np.load(args.queries, allow_pickle=False)
-    qvecs = qry["vecs"]
+    if "vecs" in qry:
+        qvecs = qry["vecs"]
+    elif "vecs_int8" in qry:
+        # queries extracted with --quantize-int8: the engines quantize
+        # queries on the fly anyway, so just dequantize to floats
+        qvecs = qry["vecs_int8"].astype(np.float32) * qry["scales"][:, None]
+    else:
+        raise SystemExit(f"{args.queries} has neither 'vecs' nor "
+                         f"'vecs_int8' (keys: {sorted(qry.keys())})")
 
     # a prequantized index (rir-extract --quantize-int8) stores
     # vecs_int8 + scales instead of vecs; default to the int8 engine
-    # and only dequantize when another engine (or QE) needs floats
+    # and only dequantize when another engine (or QE) needs floats.
+    # an explicit engine request (--engine or the --approx alias)
+    # always wins over the stored layout.
     prequantized = "vecs_int8" in gal
-    engine = args.engine or (
-        "int8" if prequantized else ("approx" if args.approx else "exact")
-    )
+    engine = args.engine or ("approx" if args.approx else
+                             ("int8" if prequantized else "exact"))
     qg = gscales = gvecs = None
     if prequantized:
         qg, gscales = gal["vecs_int8"], gal["scales"]

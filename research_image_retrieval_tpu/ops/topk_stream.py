@@ -47,7 +47,7 @@ _NEG = -jnp.inf
 
 
 def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
-                 precision=None):
+                 precision=None, aux=None, score_fn=None):
     """Shared streaming driver: lax.scan over gallery chunks, carrying the
     running [Q, k] winners; ``select_fn(scores, kk)`` picks per-chunk
     candidates (exact lax.top_k or the TPU approx_max_k reduction).
@@ -56,25 +56,40 @@ def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
     selection (pad rows must never displace real negative-similarity
     neighbors — and a sharded caller's shard may hold globally-padded
     rows, so this can be a traced value).
+
+    ``score_fn(g_chunk, aux_chunk) -> [Q, chunk] fp32`` overrides the
+    default ``queries @ chunk.T`` scoring (the int8 engine's rescaled
+    s32 contraction); ``aux`` is an optional [N] per-row array chunked
+    and fed alongside the gallery (the int8 engine's scales).
     """
-    queries = jnp.asarray(queries).astype(compute_dtype)
-    gallery = jnp.asarray(gallery)  # keep storage dtype (fp32 or bf16)
-    Q, D = queries.shape
-    N = gallery.shape[0]
+    if score_fn is None:
+        q = jnp.asarray(queries).astype(compute_dtype)
+        Q = q.shape[0]
+
+        def score_fn(g_chunk, _aux):
+            return jnp.matmul(q, g_chunk.astype(compute_dtype).T,
+                              preferred_element_type=jnp.float32,
+                              precision=precision)
+    else:
+        Q = jnp.asarray(queries).shape[0]
+    gallery = jnp.asarray(gallery)  # keep storage dtype (fp32/bf16/int8)
+    N, D = gallery.shape
     if n_valid is None:
         n_valid = N
     pad = (-N) % chunk
     if pad:
         gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+        if aux is not None:
+            aux = jnp.pad(jnp.asarray(aux), (0, pad))
     chunks = gallery.reshape(-1, chunk, D)
+    aux_chunks = (jnp.zeros((chunks.shape[0], 1), jnp.float32)
+                  if aux is None else jnp.asarray(aux).reshape(-1, chunk))
     kk = min(k, chunk)
 
     def body(carry, inp):
         run_s, run_i = carry
-        g_chunk, base = inp
-        scores = jnp.matmul(queries, g_chunk.astype(compute_dtype).T,
-                            preferred_element_type=jnp.float32,
-                            precision=precision)
+        g_chunk, a_chunk, base = inp
+        scores = score_fn(g_chunk, a_chunk)
         ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
         scores = jnp.where(ids < n_valid, scores, _NEG)
         s, i = select_fn(scores, kk)
@@ -88,7 +103,7 @@ def _scan_stream(queries, gallery, k, chunk, n_valid, select_fn, compute_dtype,
         jnp.zeros((Q, k), jnp.int32),
     )
     bases = (jnp.arange(chunks.shape[0], dtype=jnp.int32) * chunk)
-    (scores, idx), _ = jax.lax.scan(body, init, (chunks, bases))
+    (scores, idx), _ = jax.lax.scan(body, init, (chunks, aux_chunks, bases))
     return scores, jnp.clip(idx, 0, N - 1)
 
 
@@ -287,56 +302,34 @@ def int8_streaming_topk(
     q_gallery = jnp.asarray(q_gallery)
     assert q_gallery.dtype == jnp.int8, q_gallery.dtype
     g_scales = jnp.asarray(g_scales, jnp.float32)
-    Q, D = queries.shape
     N = q_gallery.shape[0]
-    if n_valid is None:
-        n_valid = N
     if chunk is None:
         # same sweep logic as the bf16 engines: few big chunks on TPU
         on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         chunk = min(max(-(-N // 4), 8192), N) if on_tpu else 4096
 
-    q_scale = jnp.maximum(jnp.max(jnp.abs(queries), axis=1) / 127.0,
-                          jnp.float32(1e-12))
-    q_int8 = jnp.clip(jnp.round(queries / q_scale[:, None]),
-                      -127, 127).astype(jnp.int8)
+    # queries use the same symmetric per-row scheme as the gallery
+    q_int8, q_scale = quantize_gallery_int8(queries)
 
-    pad = (-N) % chunk
-    if pad:
-        q_gallery = jnp.pad(q_gallery, ((0, pad), (0, 0)))
-        g_scales = jnp.pad(g_scales, (0, pad))
-    chunks = q_gallery.reshape(-1, chunk, D)
-    scale_chunks = g_scales.reshape(-1, chunk)
-    kk = min(k, chunk)
-
-    def body(carry, inp):
-        run_s, run_i = carry
-        g_chunk, s_chunk, base = inp
+    def score_fn(g_chunk, s_chunk):
         s32 = jax.lax.dot_general(
             q_int8, g_chunk,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # [Q, chunk]
-        scores = s32.astype(jnp.float32) * (q_scale[:, None] * s_chunk[None, :])
-        ids = jnp.arange(chunk, dtype=jnp.int32)[None, :] + base
-        scores = jnp.where(ids < n_valid, scores, _NEG)
-        if selection == "approx":
-            s, i = jax.lax.approx_max_k(scores, kk,
-                                        recall_target=recall_target)
-        else:
-            s, i = _grouped_exact_select(scores, kk, group=group)
-        cand_s = jnp.concatenate([run_s, s], axis=1)
-        cand_i = jnp.concatenate([run_i, i + base], axis=1)
-        s2, sel = jax.lax.top_k(cand_s, k)
-        return (s2, jnp.take_along_axis(cand_i, sel, axis=1)), None
+        return s32.astype(jnp.float32) * (q_scale[:, None] * s_chunk[None, :])
 
-    init = (
-        jnp.full((Q, k), _NEG, jnp.float32),
-        jnp.zeros((Q, k), jnp.int32),
+    if selection == "approx":
+        select = lambda scores, kk: jax.lax.approx_max_k(
+            scores, kk, recall_target=recall_target)
+    else:
+        select = lambda scores, kk: _grouped_exact_select(
+            scores, kk, group=group)
+    return _scan_stream(
+        queries, q_gallery, k, chunk, n_valid,
+        select_fn=select, compute_dtype=jnp.float32,
+        aux=g_scales, score_fn=score_fn,
     )
-    bases = jnp.arange(chunks.shape[0], dtype=jnp.int32) * chunk
-    (scores, idx), _ = jax.lax.scan(body, init, (chunks, scale_chunks, bases))
-    return scores, jnp.clip(idx, 0, N - 1)
 
 
 def streaming_topk(queries, gallery, k: int = 100, chunk: int | None = None,

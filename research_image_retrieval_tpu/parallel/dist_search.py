@@ -90,6 +90,7 @@ def sharded_streaming_topk(
     axis: str = "data",
     chunk: int = 65536,
     engine: str = "exact",
+    g_scales=None,
 ):
     """ICI-sharded search with per-shard STREAMING top-k.
 
@@ -104,7 +105,11 @@ def sharded_streaming_topk(
     (``ops.topk_stream.quantize_gallery_int8``) and streams it through the
     quantized s8 x s8 -> s32 engine — half the per-device HBM footprint
     AND half the stream bytes; selection/merge stay exact w.r.t. the
-    quantized scores.
+    quantized scores.  Serving callers should quantize ONCE and pass the
+    prequantized index directly (``gallery`` as the [N, D] int8 array +
+    ``g_scales`` as its [N] fp32 row scales, e.g. the ``vecs_int8`` /
+    ``scales`` arrays written by ``rir-extract --quantize-int8``) —
+    passing a float gallery re-quantizes on every call.
     """
     from research_image_retrieval_tpu.ops.topk_stream import (
         int8_streaming_topk,
@@ -123,20 +128,31 @@ def sharded_streaming_topk(
     n_shards = mesh.shape[axis]
     queries = jnp.asarray(queries, jnp.float32)
     gallery = jnp.asarray(gallery)
+    prequantized = gallery.dtype == jnp.int8
+    if prequantized and engine != "int8":
+        raise ValueError("an int8 gallery requires engine='int8' "
+                         "(dequantize it yourself for the exact engine)")
+    if prequantized and g_scales is None:
+        raise ValueError("an int8 gallery needs its g_scales "
+                         "(from quantize_gallery_int8)")
     N = gallery.shape[0]
     if N % n_shards != 0:
         pad = n_shards - N % n_shards
         gallery = jnp.pad(gallery, ((0, pad), (0, 0)))
+        if prequantized:
+            g_scales = jnp.pad(jnp.asarray(g_scales, jnp.float32), (0, pad))
     shard_n = gallery.shape[0] // n_shards
     local_chunk = min(chunk, shard_n)
 
-    if engine == "int8":
+    if engine == "int8" and not prequantized:
         # quantization is per-row, so quantize-then-shard == shard-then-
         # quantize; scales ride along as a [N] fp32 vector sharded the
         # same way (pad rows are all-zero -> scale eps, masked anyway)
         gallery, g_scales = jax.jit(quantize_gallery_int8)(gallery)
-    else:
+    elif engine != "int8":
         g_scales = jnp.zeros((gallery.shape[0],), jnp.float32)  # unused
+    else:
+        g_scales = jnp.asarray(g_scales, jnp.float32)
 
     @functools.partial(
         jax.shard_map,

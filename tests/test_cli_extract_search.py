@@ -96,6 +96,35 @@ def test_extract_quantized_index_then_search(tmp_path, rng):
     assert len(json.loads((tmp_path / "res_qe.json").read_text())) == 6
 
 
+def test_search_int8_queries_npz(tmp_path, rng):
+    """Queries saved as vecs_int8+scales (extract --quantize-int8 on the
+    query side) are dequantized transparently; an npz with neither key
+    errors out with a clear message."""
+    from research_image_retrieval_tpu.ops import quantize_gallery_int8
+
+    vecs = rng.standard_normal((30, 48)).astype(np.float32)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    gal = tmp_path / "gal.npz"
+    np.savez(gal, vecs=vecs, names=np.arange(30))
+    qv, qs = quantize_gallery_int8(vecs[:5])
+    qnpz = tmp_path / "q_int8.npz"
+    np.savez(qnpz, vecs_int8=np.asarray(qv), scales=np.asarray(qs),
+             names=np.arange(5))
+    out = tmp_path / "r.json"
+    rc = search_main(["--gallery", str(gal), "--queries", str(qnpz),
+                      "--topk", "3", "--output", str(out)])
+    assert rc == 0
+    res = json.loads(out.read_text())
+    assert all(r["matches"][0]["name"] == str(i) for i, r in enumerate(res))
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, something=np.zeros(3))
+    import pytest
+    with pytest.raises(SystemExit, match="vecs"):
+        search_main(["--gallery", str(gal), "--queries", str(bad),
+                     "--topk", "3"])
+
+
 def test_search_engine_int8(tmp_path, rng):
     """`rir-search --engine int8` runs the quantized serving path; on
     well-separated synthetic descriptors its top-1 matches exact."""

@@ -54,6 +54,39 @@ arr = jax.make_array_from_process_local_data(
 total = float(np.asarray(allsum(arr))[0])
 assert total == 3.0, total  # 1 + 2 across processes
 
+# cross-PROCESS sharded serving: the gallery lives half on each process
+# (the DCN analogue of the ICI-sharded search), searched with both the
+# exact and the int8 engine; the replicated merge must equal the local
+# numpy reference in both processes
+from research_image_retrieval_tpu.parallel import sharded_streaming_topk
+
+rng = np.random.default_rng(11)  # same seed both processes
+full = rng.standard_normal((32, 16)).astype(np.float32)
+full /= np.linalg.norm(full, axis=1, keepdims=True)
+queries = full[:3] + 0.01
+
+gmesh = Mesh(np.asarray(jax.devices()).reshape(2, 1),
+             axis_names=("data", "model"))
+gallery = jax.make_array_from_process_local_data(
+    jax.NamedSharding(gmesh, P("data", None)),
+    full[rank * 16:(rank + 1) * 16], (32, 16),
+)
+from research_image_retrieval_tpu.ops import (
+    int8_streaming_topk, quantize_gallery_int8,
+)
+
+refs = {"exact": np.argsort(-(queries @ full.T), axis=1)[:, :5]}
+qg, gs = quantize_gallery_int8(full)  # local, single-device
+refs["int8"] = np.asarray(
+    int8_streaming_topk(queries, qg, gs, k=5, chunk=16)[1]
+)
+for engine, ref in refs.items():
+    s, i = sharded_streaming_topk(queries, gallery, k=5, mesh=gmesh,
+                                  chunk=8, engine=engine)
+    got = np.asarray(i)
+    assert (got == ref).all(), (engine, got, ref)
+print(f"RANK{rank}_SEARCH_OK", flush=True)
+
 # ShardedBatchIterator with true process sharding (defaults read the
 # jax process topology)
 from research_image_retrieval_tpu.data import ShardedBatchIterator
@@ -116,6 +149,7 @@ def test_two_process_bootstrap(tmp_path):
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank}_PSUM_OK" in out, out
+        assert f"RANK{rank}_SEARCH_OK" in out, out
 
     # the two shards must partition [0, 16) exactly: rank r takes the
     # strided slice starting at r (see ShardedBatchIterator)

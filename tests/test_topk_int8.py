@@ -162,6 +162,33 @@ class TestShardedInt8:
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                    rtol=1e-6)
 
+    def test_prequantized_shards(self, rng):
+        """Passing the int8 index + scales directly (serving path) must
+        equal the float-gallery path that quantizes internally."""
+        qs = _unit(rng, 4, 64)
+        g = _unit(rng, 128, 64)
+        qg, gs = quantize_gallery_int8(g)
+        mesh = make_mesh(data=8, model=1)
+        s_f, i_f = sharded_streaming_topk(qs, g, k=7, mesh=mesh, chunk=8,
+                                          engine="int8")
+        s_q, i_q = sharded_streaming_topk(qs, np.asarray(qg), k=7,
+                                          mesh=mesh, chunk=8,
+                                          engine="int8",
+                                          g_scales=np.asarray(gs))
+        np.testing.assert_array_equal(np.asarray(i_q), np.asarray(i_f))
+        np.testing.assert_allclose(np.asarray(s_q), np.asarray(s_f),
+                                   rtol=1e-6)
+
+    def test_prequantized_requires_int8_engine_and_scales(self, rng):
+        qg, gs = quantize_gallery_int8(_unit(rng, 64, 32))
+        mesh = make_mesh(data=8, model=1)
+        with pytest.raises(ValueError, match="engine='int8'"):
+            sharded_streaming_topk(_unit(rng, 2, 32), np.asarray(qg),
+                                   k=4, mesh=mesh, g_scales=np.asarray(gs))
+        with pytest.raises(ValueError, match="g_scales"):
+            sharded_streaming_topk(_unit(rng, 2, 32), np.asarray(qg),
+                                   k=4, mesh=mesh, engine="int8")
+
     def test_pad_rows_masked(self, rng):
         """N not divisible by shards: a pad row must not displace the only
         true (negative-score) winner of the last shard."""
