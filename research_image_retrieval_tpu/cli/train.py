@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-workers", type=int, default=None)
     p.add_argument("--data-parallel", type=int, default=None)
     p.add_argument("--model-parallel", type=int, default=None)
+    p.add_argument("--dtype", dest="compute_dtype", default=None,
+                   choices=("float32", "bfloat16"),
+                   help="backbone compute dtype (the reference's AMP "
+                        "analogue; losses/descriptors stay fp32)")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="debug: cap steps per epoch")
     return p

@@ -52,6 +52,7 @@ class CDConv(nn.Module):
     tau2: float = 0.50
     delta1: int = 3
     delta2: int = 6
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -61,14 +62,18 @@ class CDConv(nn.Module):
         if mask is not None:
             # padded-bucket extraction: zero the pad region so the dilated
             # convs below read exact zero padding at the true boundary
-            x = x * mask[..., None]
+            x = x * mask[..., None].astype(x.dtype)
 
-        # eq (1): a_c = sigmoid(sum_k w[k,c] * GAP[(c+k) % C])
+        # eq (1): a_c = sigmoid(sum_k w[k,c] * GAP[(c+k) % C]).
+        # statistics in fp32 (the HW reduction loses precision in bf16;
+        # the convert fuses into the reduce — no extra HBM traffic)
         if mask is None:
-            gap = jnp.mean(x, axis=(1, 2))  # [B, C]
+            gap = jnp.mean(x.astype(jnp.float32), axis=(1, 2))  # [B, C]
         else:
             cnt = jnp.maximum(jnp.sum(mask, axis=(1, 2)), 1.0)[:, None]
-            gap = jnp.sum(x * mask[..., None], axis=(1, 2)) / cnt
+            gap = jnp.sum(
+                x.astype(jnp.float32) * mask[..., None], axis=(1, 2)
+            ) / cnt
         w = self.param(
             "channel_attention_weights",
             lambda key: jax.random.normal(key, (K, C)) / np.sqrt(C),
@@ -89,15 +94,17 @@ class CDConv(nn.Module):
         conv = lambda d, name: nn.Conv(
             self.features, (K, K), strides=(self.stride,) * 2,
             padding=[(d * (K // 2),) * 2] * 2, kernel_dilation=(d, d),
-            use_bias=False, name=name,
+            use_bias=False, dtype=self.dtype, name=name,
         )
+        mix = lambda f: (f / total).astype(self.dtype)
         out = (
-            f1 / total * conv(1, "conv_d1")(x)
-            + fd1 / total * conv(self.delta1, "conv_dd1")(x)
-            + fd2 / total * conv(self.delta2, "conv_dd2")(x)
+            mix(f1) * conv(1, "conv_d1")(x)
+            + mix(fd1) * conv(self.delta1, "conv_dd1")(x)
+            + mix(fd2) * conv(self.delta2, "conv_dd2")(x)
         )
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="bn",
         )(out)
 
 
@@ -106,18 +113,23 @@ class CDConvBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         idt = x
         y = nn.relu(CDConv(self.features, stride=self.stride,
+                           dtype=self.dtype,
                            name="cdconv1")(x, train, mask=mask))
-        y = CDConv(self.features, name="cdconv2")(y, train, mask=mask)
+        y = CDConv(self.features, dtype=self.dtype,
+                   name="cdconv2")(y, train, mask=mask)
         if idt.shape[-1] != self.features or self.stride != 1:
             idt = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
-                          use_bias=False, name="down_conv")(idt)
+                          use_bias=False, dtype=self.dtype,
+                          name="down_conv")(idt)
             idt = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                               epsilon=1e-5, name="down_bn")(idt)
+                               epsilon=1e-5, dtype=self.dtype,
+                               name="down_bn")(idt)
         return nn.relu(y + idt)
 
 
@@ -125,25 +137,25 @@ class MultiScaleContextKernel(nn.Module):
     """3 depthwise dilated convs + 1x1 fuse (reference: scala.py:14-57)."""
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         if mask is not None:
-            x = x * mask[..., None]
+            x = x * mask[..., None].astype(x.dtype)
         outs = []
         for d in (1, 2, 3):
             outs.append(
                 nn.Conv(
                     self.dim, (3, 3), padding=[(d, d), (d, d)],
                     kernel_dilation=(d, d), feature_group_count=self.dim,
-                    use_bias=False, name=f"dc{d}",
+                    use_bias=False, dtype=self.dtype, name=f"dc{d}",
                 )(x)
             )
-        y = nn.Conv(self.dim, (1, 1), use_bias=False, name="fuse")(
-            jnp.concatenate(outs, axis=-1)
-        )
+        y = nn.Conv(self.dim, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="fuse")(jnp.concatenate(outs, axis=-1))
         return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                            epsilon=1e-5, name="bn")(y)
+                            epsilon=1e-5, dtype=self.dtype, name="bn")(y)
 
 
 def window_partition(x, ws: int):
@@ -188,6 +200,7 @@ class SCALAAttention(nn.Module):
     num_heads: int = 8
     qkv_bias: bool = True
     use_context_keys: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
@@ -200,27 +213,31 @@ class SCALAAttention(nn.Module):
             # the exact-shape run zero-pads BOTH the tokens and the MCK
             # context inside window_partition; zeroing the bucket pad
             # region reproduces those windows bit-for-bit
-            x = x * mask[..., None]
-        context = MultiScaleContextKernel(self.dim, name="mck")(
-            x, train, mask=mask
-        )
+            x = x * mask[..., None].astype(x.dtype)
+        context = MultiScaleContextKernel(self.dim, dtype=self.dtype,
+                                          name="mck")(x, train, mask=mask)
         if mask is not None:
-            context = context * mask[..., None]
+            context = context * mask[..., None].astype(context.dtype)
         xw, (Hp, Wp) = window_partition(x, ws)  # [nB, N, C]
         cw, _ = window_partition(context, ws)
         N = ws * ws
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, name="qkv")(xw)
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype,
+                       name="qkv")(xw)
         qkv = qkv.reshape(-1, N, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [nB, h, N, hd]
         if self.use_context_keys:
             # paper eq (5): keys carry multi-scale context
             k = (
-                nn.Dense(C, use_bias=self.qkv_bias, name="context_k")(cw)
+                nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype,
+                         name="context_k")(cw)
                 .reshape(-1, N, h, hd)
                 .transpose(0, 2, 1, 3)
             )
 
+        # scores accumulate in fp32 (MXU-native for bf16 q/k); softmax
+        # stays fp32, then the probabilities drop back to the compute
+        # dtype for the value contraction
         attn = jnp.einsum(
             "bhnd,bhmd->bhnm", q * (hd**-0.5), k,
             preferred_element_type=jnp.float32,
@@ -235,10 +252,11 @@ class SCALAAttention(nn.Module):
         attn = jax.nn.softmax(attn + rel_bias[None], axis=-1)
 
         out = jnp.einsum(
-            "bhnm,bhmd->bhnd", attn, v, preferred_element_type=jnp.float32
+            "bhnm,bhmd->bhnd", attn.astype(v.dtype), v,
+            preferred_element_type=jnp.float32,
         )
         out = out.transpose(0, 2, 1, 3).reshape(-1, N, C)
-        out = nn.Dense(C, name="proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="proj")(out)
         return window_reverse(out, ws, Hp, Wp, H, W)
 
 
@@ -250,21 +268,24 @@ class SCALABlock(nn.Module):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     use_context_keys: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, mask=None):
         bn = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
         )
         x = x + SCALAAttention(
             self.dim, self.window_size, self.num_heads,
-            use_context_keys=self.use_context_keys, name="attn",
+            use_context_keys=self.use_context_keys, dtype=self.dtype,
+            name="attn",
         )(bn("norm1")(x), train, mask=mask)
         hidden = int(self.dim * self.mlp_ratio)
         y = bn("norm2")(x)
-        y = nn.Conv(hidden, (1, 1), name="mlp_fc1")(y)
+        y = nn.Conv(hidden, (1, 1), dtype=self.dtype, name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
-        y = nn.Conv(self.dim, (1, 1), name="mlp_fc2")(y)
+        y = nn.Conv(self.dim, (1, 1), dtype=self.dtype, name="mlp_fc2")(y)
         return x + y
 
 
@@ -277,6 +298,7 @@ class PatchMerging(nn.Module):
     """
 
     out_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -284,8 +306,9 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
-        return nn.Dense(self.out_dim, use_bias=False, name="reduction")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        return nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype,
+                        name="reduction")(x)
 
 
 class AttentionBasedGlobalPooling(nn.Module):
@@ -339,6 +362,7 @@ class ULTRON(nn.Module):
     gem_gamma: float = 2.0
     gem_alpha: float = 2.0
     use_context_keys: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
@@ -347,11 +371,13 @@ class ULTRON(nn.Module):
         multiples of 32 — the same constraint the exact-shape model
         imposes (PatchMerging needs even dims at every stage)."""
         B, H, W, _ = x.shape
+        x = x.astype(self.dtype)
         y = nn.Conv(
             self.embed_dims[0], (self.patch_size,) * 2,
-            strides=(self.patch_size,) * 2, name="patch_embed",
+            strides=(self.patch_size,) * 2, dtype=self.dtype,
+            name="patch_embed",
         )(x)
-        y = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(y)
 
         pr = self.img_size // self.patch_size
         pos = self.param(
@@ -365,7 +391,7 @@ class ULTRON(nn.Module):
                     pos, (1, y.shape[1], y.shape[2], self.embed_dims[0]),
                     "bilinear",
                 )
-            y = y + pos
+            y = y + pos.astype(y.dtype)
             ext = None
         else:
             # per-image pos-embed interpolation to the TRUE grid, placed
@@ -380,7 +406,7 @@ class ULTRON(nn.Module):
             ww = dynamic_resize_weights(y.shape[2], pr, ext[:, 1])
             pos_b = jnp.einsum("bhp,pqc,bwq->bhwc", wh, pos[0], ww,
                                preferred_element_type=jnp.float32)
-            y = y + pos_b
+            y = y + pos_b.astype(y.dtype)
 
         from research_image_retrieval_tpu.ops.masking import hw_mask
 
@@ -388,7 +414,8 @@ class ULTRON(nn.Module):
             zip(self.embed_dims, self.depths, self.num_heads)
         ):
             if i > 0:
-                y = PatchMerging(out_dim=dim, name=f"merge{i}")(y)
+                y = PatchMerging(out_dim=dim, dtype=self.dtype,
+                                 name=f"merge{i}")(y)
                 if ext is not None:
                     # the 32-multiple contract keeps every stage extent
                     # even, so merging exactly halves it
@@ -399,13 +426,15 @@ class ULTRON(nn.Module):
             )
             for j in range(depth):
                 if i < 2:
-                    y = CDConvBlock(dim, name=f"stage{i}_block{j}")(
+                    y = CDConvBlock(dim, dtype=self.dtype,
+                                    name=f"stage{i}_block{j}")(
                         y, train, mask=mask
                     )
                 else:
                     y = SCALABlock(
                         dim, self.window_size, heads, self.mlp_ratio,
                         use_context_keys=self.use_context_keys,
+                        dtype=self.dtype,
                         name=f"stage{i}_block{j}",
                     )(y, train, mask=mask)
         return y
@@ -426,6 +455,8 @@ class ULTRONRetrievalModel(nn.Module):
     window_size: int = 7
     rho: float = 0.04
     use_context_keys: bool = True
+    dtype: Any = jnp.float32  # backbone compute dtype (bf16 for TPU
+    # training; descriptor pooling, L2, and MadaCos always run fp32)
 
     @property
     def extent_multiple(self) -> int:
@@ -446,7 +477,7 @@ class ULTRONRetrievalModel(nn.Module):
         }[self.variant]
         self.backbone = ULTRON(
             img_size=self.img_size, window_size=self.window_size,
-            use_context_keys=self.use_context_keys, **cfg,
+            use_context_keys=self.use_context_keys, dtype=self.dtype, **cfg,
         )
         self.embed_dim = cfg["embed_dims"][-1]
         self.pooling = AttentionBasedGlobalPooling(
@@ -460,6 +491,7 @@ class ULTRONRetrievalModel(nn.Module):
 
     def _descriptor(self, x, train: bool, valid_hw=None):
         fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        fmap = fmap.astype(jnp.float32)  # pooling/L2/loss stay fp32
         mask = None
         if valid_hw is not None:
             from research_image_retrieval_tpu.ops.masking import hw_mask

@@ -149,7 +149,33 @@ def build_optimizer(cfg: TrainConfig, iter_per_epoch: int, phase: str = "main"):
 def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     """Run the full training loop; returns (state, history)."""
     train_ds, val_ds, num_classes = build_datasets(cfg)
-    model = get_model(cfg.model, num_classes=num_classes, **cfg.model_overrides)
+    model_kwargs = dict(cfg.model_overrides)
+    compute_dtype = cfg.compute_dtype
+    if not compute_dtype and jax.devices()[0].platform in ("tpu", "axon"):
+        # TPU-first default: bf16 backbone compute (the reference trains
+        # under AMP; every model keeps losses/descriptors fp32).  Pass
+        # --dtype float32 to force full precision.
+        compute_dtype = "bfloat16"
+        print("compute dtype: bfloat16 (TPU default; --dtype float32 to "
+              "override)")
+    if compute_dtype in ("", "float32"):
+        compute_dtype = ""
+    if compute_dtype and "dtype" not in model_kwargs:
+        # bf16 backbone compute (the reference's AMP analogue) for models
+        # that expose the knob; an explicit model_overrides dtype wins
+        from research_image_retrieval_tpu.models.registry import (
+            MODEL_REGISTRY,
+        )
+
+        cls = MODEL_REGISTRY[cfg.model].builder
+        if dataclasses.is_dataclass(cls) and any(
+            f.name == "dtype" for f in dataclasses.fields(cls)
+        ):
+            model_kwargs["dtype"] = jnp.dtype(compute_dtype)
+        else:
+            print(f"note: {cfg.model} has no compute-dtype knob; "
+                  f"ignoring compute_dtype={compute_dtype}")
+    model = get_model(cfg.model, num_classes=num_classes, **model_kwargs)
 
     mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
     train_it = ShardedBatchIterator(

@@ -47,6 +47,11 @@ class TrainConfig:
     data_parallel: int | None = None  # default: all devices
     model_parallel: int = 1
 
+    # backbone compute dtype ("" = model default fp32; "bfloat16" is the
+    # TPU answer to the reference's AMP fp16 path — losses/descriptors
+    # stay fp32 inside every model)
+    compute_dtype: str = ""
+
     # checkpointing / logging
     directory: str = "checkpoints"
     save_freq: int = 1

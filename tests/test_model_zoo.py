@@ -107,3 +107,56 @@ class TestModelContract:
         d1 = model.apply(variables, x, method="extract")
         d2 = model.apply(variables, x, method="extract")
         np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+class TestUltronBf16:
+    """ULTRON's dtype knob: bf16 backbone compute must track fp32 closely
+    (descriptor head stays fp32 by construction) and reuse fp32 params."""
+
+    def test_bf16_close_to_fp32(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from research_image_retrieval_tpu.models import get_model
+
+        kw = dict(variant="t", img_size=64, window_size=4, num_classes=8)
+        m32 = get_model("ultron_s", **kw)
+        m16 = get_model("ultron_s", dtype=jnp.bfloat16, **kw)
+        x = jnp.asarray(
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        )
+        v = m32.init(jax.random.PRNGKey(0), x,
+                     labels=jnp.zeros((2,), jnp.int32), train=False)
+        d32 = m32.apply(v, x, method="extract")
+        d16 = m16.apply(v, x, method="extract")  # same fp32 params
+        assert d16.dtype == jnp.float32  # descriptor head is fp32
+        cos = np.sum(np.asarray(d32) * np.asarray(d16), axis=1)
+        assert (cos > 0.98).all(), cos
+
+    def test_bf16_trains(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from research_image_retrieval_tpu.models import get_model
+
+        m = get_model("ultron_s", dtype=jnp.bfloat16, variant="t",
+                      img_size=64, window_size=4, num_classes=8)
+        x = jnp.asarray(
+            rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
+        )
+        y = jnp.asarray([1, 3])
+        v = m.init(jax.random.PRNGKey(0), x, labels=y, train=True)
+
+        def loss_fn(params):
+            (loss, _), _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, labels=y, train=True, mutable=["batch_stats"],
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+        assert np.isfinite(float(loss))
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+        )
+        assert np.isfinite(gnorm) and gnorm > 0

@@ -258,3 +258,61 @@ class TestInTrainingPlots:
         train(cfg, max_steps_per_epoch=2)
         png = tmp_path / "ck" / "curves.png"
         assert png.exists() and png.stat().st_size > 0
+
+
+class TestComputeDtype:
+    def test_bf16_reaches_model(self, tmp_path):
+        """compute_dtype='bfloat16' threads into the model build (the
+        reference's AMP analogue); loss stays finite and fp32."""
+        from research_image_retrieval_tpu.train.driver import train
+        from research_image_retrieval_tpu.utils.config import get_preset
+
+        cfg = get_preset(
+            "gem_r50", num_epochs=1, batch_size=8, imsize=24, num_workers=0,
+            directory=str(tmp_path / "ck"), save_freq=10,
+            compute_dtype="bfloat16",
+            model_overrides={"backbone_name": "resnet18", "outputdim": 16},
+        )
+        state, history = train(cfg, max_steps_per_epoch=2)
+        assert np.isfinite(history["train_loss"][-1])
+
+    def test_no_dtype_knob_is_ignored_loudly(self, tmp_path, capsys):
+        """Models without a dtype field (e.g. the CLIP towers, or any
+        third-party registration) skip the override with a note instead
+        of crashing.  Uses a tiny throwaway registration — building a
+        real CLIP tower here OOMs the shared test process."""
+        import flax.linen as nn
+        import jax.numpy as jnp
+        import optax
+
+        from research_image_retrieval_tpu.models.registry import (
+            MODEL_REGISTRY,
+            register_model,
+        )
+        from research_image_retrieval_tpu.train.driver import train
+        from research_image_retrieval_tpu.utils.config import TrainConfig
+
+        class TinyNoDtype(nn.Module):
+            num_classes: int = 8
+
+            @nn.compact
+            def __call__(self, x, labels=None, train=False):
+                logits = nn.Dense(self.num_classes)(jnp.mean(x, axis=(1, 2)))
+                loss = optax.softmax_cross_entropy_with_integer_labels(
+                    logits, labels
+                ).mean()
+                return loss, logits
+
+        register_model("_tiny_nodtype", description="test-only")(TinyNoDtype)
+        try:
+            cfg = TrainConfig(
+                model="_tiny_nodtype", optimizer="sgd", base_lr=1e-2,
+                num_epochs=1, batch_size=8, imsize=16, num_workers=0,
+                directory=str(tmp_path / "ck"), save_freq=10,
+                compute_dtype="bfloat16",
+            )
+            train(cfg, max_steps_per_epoch=1)
+        finally:
+            MODEL_REGISTRY.pop("_tiny_nodtype", None)
+        out = capsys.readouterr().out
+        assert "no compute-dtype knob" in out
