@@ -38,6 +38,7 @@ from research_image_retrieval_tpu.train.loop import (
     make_train_step,
 )
 from research_image_retrieval_tpu.train.metrics import (
+    DeferredUpdate,
     JsonlWriter,
     MetricLogger,
     TensorBoardWriter,
@@ -320,13 +321,17 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             print(f">> optimizer hand-off to SGD at epoch {epoch}")
 
         logger = MetricLogger()
+        # deferred readback: float()-ing this step's device metrics would
+        # block until it finishes, serializing input decode with compute;
+        # reading them one step late lets decode overlap the chip
+        dlog = DeferredUpdate(logger)
         header = f">> Train Epoch: [{epoch}]"
         for i, (imgs, labels) in enumerate(
             logger.log_every(train_it.epoch_batches(), cfg.print_freq, header)
         ):
             state, m = train_step(state, jnp.asarray(imgs), jnp.asarray(labels))
-            logger.update(loss=m["loss"], top1_err=m["top1_err"],
-                          top5_err=m["top5_err"])
+            dlog.update(loss=m["loss"], top1_err=m["top1_err"],
+                        top5_err=m["top5_err"])
             if guard.should_stop:
                 # mid-epoch snapshot: iterator state makes resume exact
                 mgr.save(epoch + 1, snapshot())
@@ -340,19 +345,22 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
                 train_it.epoch += 1
                 train_it.step = 0
                 break
+        dlog.flush()  # deliver the final step's metrics
         history["train_loss"].append(logger.meters["loss"].avg)
         write_metrics(int(state.step), epoch=epoch,
                       train_loss=logger.meters["loss"].avg)
 
         if (epoch + 1) % cfg.val_epoch == 0:
             vlog = MetricLogger()
+            dvlog = DeferredUpdate(vlog)
             for j, (imgs, labels) in enumerate(val_it.epoch_batches()):
                 m = eval_step(state, jnp.asarray(imgs), jnp.asarray(labels))
-                vlog.update(loss=m["loss"], top1_err=m["top1_err"])
+                dvlog.update(loss=m["loss"], top1_err=m["top1_err"])
                 if max_steps_per_epoch and j + 1 >= max_steps_per_epoch:
                     val_it.epoch += 1
                     val_it.step = 0
                     break
+            dvlog.flush()
             history["val_loss"].append(vlog.meters["loss"].avg)
             history["val_top1_err"].append(vlog.meters["top1_err"].avg)
             print(f">> Val Epoch: [{epoch}] {vlog}")

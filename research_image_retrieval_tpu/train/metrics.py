@@ -17,7 +17,8 @@ import time
 from collections import defaultdict
 from typing import Iterable
 
-__all__ = ["AverageMeter", "MetricLogger", "JsonlWriter", "TensorBoardWriter"]
+__all__ = ["AverageMeter", "MetricLogger", "DeferredUpdate", "JsonlWriter",
+           "TensorBoardWriter"]
 
 
 class AverageMeter:
@@ -99,6 +100,36 @@ class MetricLogger:
                 f"{header} Total time: {datetime.timedelta(seconds=int(elapsed))} "
                 f"({elapsed / max(total, 1):.4f} s / it)"
             )
+
+
+class DeferredUpdate:
+    """One-step-delayed meter updates so the train loop never blocks on
+    the step it just dispatched.
+
+    ``MetricLogger.update`` reads device scalars (``float(v)``), which
+    waits for the jitted step to finish; calling it right after dispatch
+    serializes host input decode with device compute (host_time +
+    device_time per iteration).  Holding each step's metrics un-read
+    until the NEXT iteration lets the decode of batch N+1 overlap device
+    step N — the async-dispatch analogue of the reference's DataLoader
+    worker prefetch (reference: spca_train.py:106-112).  ``flush()`` at
+    loop exit delivers the final step's metrics; meter averages lag by at
+    most one step mid-epoch and are exact after the flush.
+    """
+
+    def __init__(self, logger: "MetricLogger"):
+        self.logger = logger
+        self._pending = None
+
+    def update(self, **metrics):
+        prev, self._pending = self._pending, metrics
+        if prev is not None:
+            self.logger.update(**prev)
+
+    def flush(self):
+        if self._pending is not None:
+            self.logger.update(**self._pending)
+            self._pending = None
 
 
 class JsonlWriter:

@@ -242,6 +242,35 @@ class TestMeters:
         out = capsys.readouterr().out
         assert "loss" in out and "Total time" in out
 
+    def test_deferred_update_sees_every_step_after_flush(self):
+        # the train loop reads each step's device metrics one step late
+        # (decode/compute overlap); after flush() the averages must be
+        # exact and in order, with the last value as .val
+        from research_image_retrieval_tpu.train.metrics import DeferredUpdate
+
+        ml = MetricLogger()
+        d = DeferredUpdate(ml)
+        reads = []
+
+        class Lazy:  # counts when the "device scalar" is actually read
+            def __init__(self, v):
+                self.v = v
+
+            def __float__(self):
+                reads.append(self.v)
+                return self.v
+
+        for v in (1.0, 2.0, 3.0):
+            d.update(loss=Lazy(v))
+            # the just-submitted value must NOT have been read yet
+            assert v not in reads
+        d.flush()
+        d.flush()  # idempotent
+        assert reads == [1.0, 2.0, 3.0]
+        assert ml.meters["loss"].count == 3
+        assert ml.meters["loss"].avg == 2.0
+        assert ml.meters["loss"].val == 3.0
+
 
 class TestInTrainingPlots:
     def test_curves_png_written(self, tmp_path):
