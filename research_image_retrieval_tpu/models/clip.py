@@ -15,6 +15,8 @@ transposed linears).
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -185,6 +187,8 @@ class CLIPGlobalModel(nn.Module):
     s: float = 32.0
     m: float = 0.15
     img_size: int = 224
+    dtype: Any = jnp.float32  # tower compute dtype (params stay fp32;
+    # projection, L2 norm, and the ArcFace head always run fp32)
 
     @property
     def extent_multiple(self) -> int:
@@ -201,12 +205,13 @@ class CLIPGlobalModel(nn.Module):
             self.visual = ModifiedResNet(
                 output_dim=self.outputdim,
                 input_resolution=self.img_size,
+                dtype=self.dtype,
                 **CLIP_RESNET_CONFIGS[self.variant],
             )
             self.visual_proj = None
         else:
             self.visual = VisionTransformer(
-                img_size=self.img_size, quick_gelu=True,
+                img_size=self.img_size, quick_gelu=True, dtype=self.dtype,
                 **VIT_CONFIGS[self.variant],
             )
             self.visual_proj = nn.Dense(
@@ -227,9 +232,9 @@ class CLIPGlobalModel(nn.Module):
                     "embedding is fixed by the checkpoint grid); batch "
                     "images of one resolution instead"
                 )
-            return self.visual(x, train=train)
+            return self.visual(x, train=train).astype(jnp.float32)
         cls, _ = self.visual(x, train=train, valid_hw=valid_hw)
-        return self.visual_proj(cls)
+        return self.visual_proj(cls.astype(jnp.float32))
 
     def __call__(self, x, labels, train: bool = True):
         from research_image_retrieval_tpu.ops import arcface_logits, cross_entropy

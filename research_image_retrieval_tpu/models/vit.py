@@ -45,10 +45,11 @@ class ViTBlock(nn.Module):
     heads: int
     mlp_ratio: float = 4.0
     quick_gelu: bool = False  # CLIP uses x*sigmoid(1.702x)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, token_mask=None):
-        h = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")(x)
         attn_mask = None
         if token_mask is not None:
             # [B, N] validity -> [B, 1, 1, N]: padded tokens are removed
@@ -56,16 +57,18 @@ class ViTBlock(nn.Module):
             attn_mask = token_mask[:, None, None, :].astype(bool)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, qkv_features=self.dim,
-            deterministic=deterministic, name="attn",
+            deterministic=deterministic, dtype=self.dtype,
+            force_fp32_for_softmax=True, name="attn",
         )(h, h, mask=attn_mask)
         x = x + h
-        h = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     name="mlp_fc1")(h)
         if self.quick_gelu:
             h = h * jax.nn.sigmoid(1.702 * h)
         else:
             h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, name="mlp_fc2")(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + h
 
 
@@ -83,6 +86,8 @@ class VisionTransformer(nn.Module):
     img_size: int = 224
     num_prompt_tokens: int = 0
     quick_gelu: bool = False
+    dtype: Any = jnp.float32  # compute dtype (params stay fp32; position
+    # embeddings are interpolated in fp32, attention softmax forced fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
@@ -92,9 +97,10 @@ class VisionTransformer(nn.Module):
         shape run splits its pad top/bottom, the bucket pads bottom only).
         """
         B, H, W, _ = x.shape
+        x = x.astype(self.dtype)
         y = nn.Conv(
             self.dim, (self.patch,) * 2, strides=(self.patch,) * 2,
-            use_bias=False, name="patch_embed",
+            use_bias=False, dtype=self.dtype, name="patch_embed",
         )(x)
         gh, gw = y.shape[1], y.shape[2]
         y = y.reshape(B, gh * gw, self.dim)
@@ -127,14 +133,17 @@ class VisionTransformer(nn.Module):
             ww = dynamic_resize_weights(gw, native, patch_ext[:, 1])
             pos_b = jnp.einsum("bhp,pqc,bwq->bhwc", wh, grid, ww,
                                preferred_element_type=jnp.float32)
-            y = y + pos_b.reshape(B, gh * gw, self.dim)
+            y = y + pos_b.reshape(B, gh * gw, self.dim).astype(y.dtype)
         else:
             if (gh, gw) != (native, native):
                 grid = patch_pos.reshape(1, native, native, self.dim)
                 grid = jax.image.resize(grid, (1, gh, gw, self.dim), "bilinear")
                 patch_pos = grid.reshape(1, gh * gw, self.dim)
-            y = y + patch_pos
-        tokens = [jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim)), y]
+            y = y + patch_pos.astype(y.dtype)
+        tokens = [
+            jnp.broadcast_to(cls + cls_pos, (B, 1, self.dim)).astype(y.dtype),
+            y,
+        ]
         if self.num_prompt_tokens:
             prompts = self.param(
                 "prompt_tokens", nn.initializers.normal(0.02),
@@ -142,7 +151,7 @@ class VisionTransformer(nn.Module):
             )
             tokens.append(jnp.broadcast_to(
                 prompts, (B, self.num_prompt_tokens, self.dim)
-            ))
+            ).astype(y.dtype))
         y = jnp.concatenate(tokens, axis=1)
 
         tmask = None
@@ -154,13 +163,16 @@ class VisionTransformer(nn.Module):
                                       patch_mask.dtype))
             tmask = jnp.concatenate(parts, axis=1)  # [B, N]
 
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(y) if self.quick_gelu else y  # CLIP
+        y = (
+            nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(y)
+            if self.quick_gelu else y
+        )  # CLIP
         for i in range(self.depth):
             y = ViTBlock(
                 self.dim, self.heads, quick_gelu=self.quick_gelu,
-                name=f"block{i}",
+                dtype=self.dtype, name=f"block{i}",
             )(y, deterministic=not train, token_mask=tmask)
-        y = nn.LayerNorm(epsilon=1e-5, name="ln_post")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(y)
         return y[:, 0], y[:, 1 : 1 + gh * gw]
 
 
@@ -191,7 +203,8 @@ class ViTGlobalModel(nn.Module):
     def setup(self):
         cfg = VIT_CONFIGS[self.variant]
         self.backbone = VisionTransformer(
-            img_size=self.img_size, quick_gelu=self.quick_gelu, **cfg
+            img_size=self.img_size, quick_gelu=self.quick_gelu,
+            dtype=self.dtype, **cfg
         )
         self.whiten = nn.Dense(self.outputdim, name="whiten")
         self.classifier_w = self.param(
@@ -202,6 +215,7 @@ class ViTGlobalModel(nn.Module):
 
     def _descriptor(self, x, train: bool, valid_hw=None):
         cls, patches = self.backbone(x, train=train, valid_hw=valid_hw)
+        cls = cls.astype(jnp.float32)  # descriptor head stays fp32
         xp = jnp.clip(patches.astype(jnp.float32), min=1e-6) ** self.p
         # GeM over tokens: clamp^p -> mean over sequence -> ^(1/p)
         if valid_hw is None:

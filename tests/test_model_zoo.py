@@ -160,3 +160,53 @@ class TestUltronBf16:
             float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
         )
         assert np.isfinite(gnorm) and gnorm > 0
+
+
+class TestTransformerBf16:
+    """The ViT/CLIP towers' dtype knob: bf16 tower compute must track the
+    fp32 descriptors closely while reusing the same fp32 params (the knob
+    was previously declared on ViTGlobalModel but never threaded into the
+    tower — this pins the actual wiring)."""
+
+    CASES = {
+        "vit_s16": dict(variant="test", outputdim=32, img_size=64),
+        "clip_vit_b32": dict(variant="test", outputdim=32, img_size=64),
+        "clip_r50": dict(variant="rtest", outputdim=24, img_size=64),
+    }
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_bf16_close_to_fp32(self, name, rng):
+        kw = {**self.CASES[name], "num_classes": 8}
+        m32 = get_model(name, **kw)
+        m16 = get_model(name, dtype=jnp.bfloat16, **kw)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        v = m32.init(jax.random.PRNGKey(0), x,
+                     labels=jnp.zeros((2,), jnp.int32), train=False)
+        d32 = m32.apply(v, x, method="extract")
+        d16 = m16.apply(v, x, method="extract")  # same fp32 params
+        assert d16.dtype == jnp.float32  # descriptor head is fp32
+        cos = np.sum(np.asarray(d32) * np.asarray(d16), axis=1)
+        assert (cos > 0.98).all(), (name, cos)
+
+    @pytest.mark.parametrize("name", sorted(CASES))
+    def test_bf16_trains(self, name, rng):
+        kw = {**self.CASES[name], "num_classes": 8}
+        m = get_model(name, dtype=jnp.bfloat16, **kw)
+        x = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        y = jnp.asarray([1, 3])
+        v = m.init(jax.random.PRNGKey(0), x, labels=y, train=True)
+        rest = {k: val for k, val in v.items() if k != "params"}
+
+        def loss_fn(params):
+            (loss, _), _ = m.apply(
+                {"params": params, **rest}, x, labels=y, train=True,
+                mutable=["batch_stats", "model_state"],
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(v["params"])
+        assert np.isfinite(float(loss))
+        gnorm = sum(
+            float(jnp.sum(jnp.abs(g))) for g in jax.tree.leaves(grads)
+        )
+        assert np.isfinite(gnorm) and gnorm > 0
