@@ -58,6 +58,43 @@ def test_multiscale_bucketed_equals_exact():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=2e-5)
 
 
+def test_streaming_pipeline_matches_synchronous():
+    """The async-dispatch streaming path (pipeline_depth > 0, lazy
+    generator input, partial batches interleaved across buckets) returns
+    the same descriptors in the same order as the synchronous path."""
+    model = get_model(
+        "gem_r50", backbone_name="resnet18", outputdim=16, num_classes=4
+    )
+    init = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), init, labels=jnp.zeros((1,), jnp.int32),
+        train=False,
+    )
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+
+    rng = np.random.default_rng(7)
+    # 7 images over 3 buckets with batch_size=2 -> partial tail batches
+    # in multiple buckets, interleaved arrival order
+    sizes = [(40, 40), (70, 40), (40, 70), (40, 40), (70, 40), (40, 40),
+             (70, 70)]
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32)
+            for h, w in sizes]
+    scales = (1.0, 2**-0.5)
+
+    sync = extract_vectors(masked, imgs, scales=scales, bucket=32,
+                           batch_size=2, pipeline_depth=0)
+    for depth in (1, 3):
+        got = extract_vectors(masked, iter(imgs), scales=scales, bucket=32,
+                              batch_size=2, pipeline_depth=depth)
+        np.testing.assert_allclose(got, sync, atol=1e-6)
+
+
+def test_empty_iterable_returns_empty():
+    got = extract_vectors(lambda x, v: jnp.zeros((x.shape[0], 4)), iter([]),
+                          outputdim=4)
+    assert got.shape == (0, 4)
+
+
 def test_mesh_sharded_extraction_matches_single_device(rng):
     """Data-parallel bucketed extraction over the 8-device mesh equals the
     single-device path bit-for-bit (same program, sharded batch)."""
