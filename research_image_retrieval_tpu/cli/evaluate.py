@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", default="")
     p.add_argument("--imsize", type=int, default=1024)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--host-scales", action="store_true",
+                   help="multi-scale resizes on the host instead of the "
+                        "on-device tap-table resize (debug/fallback)")
     p.add_argument("--multiscale", action="store_true",
                    help="3-scale extraction (1, 1/sqrt(2), 1/2)")
     p.add_argument("--alpha-qe", action="store_true")
@@ -79,6 +82,7 @@ def main(argv=None):
         imsize=args.imsize,
         checkpoint=args.checkpoint,
         multiscale=(1.0, 2**-0.5, 0.5) if args.multiscale else (1.0,),
+        device_scales=not args.host_scales,
         alpha_qe=args.alpha_qe,
         qe_k=args.qe_k,
         qe_alpha=args.qe_alpha,

@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--imsize", type=int, default=1024,
                    help="max side for thumbnailing (0 = original size)")
     p.add_argument("--multiscale", action="store_true")
+    p.add_argument("--host-scales", action="store_true",
+                   help="multi-scale resizes on the host instead of the "
+                        "on-device tap-table resize (debug/fallback)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--quantize-int8", action="store_true",
                    help="store the index as symmetric per-row int8 "
@@ -108,7 +111,8 @@ def main(argv=None):
 
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
                            batch_size=args.batch_size, print_freq=100,
-                           extent_multiple=multiple)
+                           extent_multiple=multiple,
+                           device_scales=not args.host_scales)
     vecs = np.asarray(vecs, np.float32)
     if args.quantize_int8:
         from research_image_retrieval_tpu.ops import quantize_gallery_int8

@@ -127,10 +127,12 @@ def evaluate(cfg: EvalConfig):
         )
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
                                print_freq=100, bucket=bucket,
-                               extent_multiple=multiple)
+                               extent_multiple=multiple,
+                               device_scales=cfg.device_scales)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
                                 print_freq=100, bucket=bucket,
-                                extent_multiple=multiple)
+                                extent_multiple=multiple,
+                                device_scales=cfg.device_scales)
         if cfg.pca_whiten:
             vecs, qvecs = _whiten(vecs, qvecs, cfg)
         if cfg.alpha_qe:

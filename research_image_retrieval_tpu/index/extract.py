@@ -274,22 +274,29 @@ class _BucketStream:
             self._dispatch(key, items)
             self.pending[key] = []
 
-    def _dispatch(self, key: tuple[int, int], chunk) -> None:
+    def _assemble(self, key: tuple[int, int], chunk):
         bh, bw = key
         batch = np.zeros((self.batch_size, bh, bw, 3), np.float32)
         extents = np.full((self.batch_size, 2), (bh, bw), np.int32)
         for k, (_, img) in enumerate(chunk):
             batch[k, : img.shape[0], : img.shape[1]] = img
             extents[k] = img.shape[:2]
+        return batch, extents
+
+    def _dispatch(self, key: tuple[int, int], chunk) -> None:
+        batch, extents = self._assemble(key, chunk)
         vecs = self.jitted(self.put(batch), self.put(extents))
-        self.inflight.append(([o for o, _ in chunk], vecs))
+        self._enqueue([(k, o) for k, (o, _) in enumerate(chunk)], vecs)
+
+    def _enqueue(self, row_owner_pairs, vecs) -> None:
+        self.inflight.append((row_owner_pairs, vecs))
         while len(self.inflight) > self.depth:
             self._read_one()
 
     def _read_one(self) -> None:
-        owners, vecs = self.inflight.pop(0)
+        pairs, vecs = self.inflight.pop(0)
         host = np.asarray(vecs)
-        self.out.extend((o, host[k]) for k, o in enumerate(owners))
+        self.out.extend((o, host[r]) for r, o in pairs)
 
     def finish(self) -> list[tuple[int, np.ndarray]]:
         """Flush partial buckets and drain the pipeline."""
@@ -300,6 +307,147 @@ class _BucketStream:
         while self.inflight:
             self._read_one()
         return self.out
+
+
+def _scaled_extract_factory(extract_fn):
+    """Masked extract preceded by an exact on-device tap-table resize.
+
+    The resize is the same separable triangle kernel as
+    ``resize_bilinear_np`` but expressed as two one-hot MXU matmuls (TPU
+    gathers are slow; one-hot matmul is this repo's standard pattern, cf.
+    ops/topk_stream.py's candidate gather).  Tap indices reference only
+    rows/cols inside each image's valid extent, so the result is exactly
+    the resize of the unpadded image — padding never bleeds in.
+    ``Precision.HIGHEST`` keeps the interpolation fp32-true (the default
+    TPU matmul quantizes inputs to bf16; BENCH.md "matmul semantics").
+    """
+
+    def fn(images, row_idx, row_w, col_idx, col_w, out_extents):
+        hp = jax.lax.Precision.HIGHEST
+        f32 = jnp.float32
+        wh = (jax.nn.one_hot(row_idx, images.shape[1], dtype=f32)
+              * row_w[..., None]).sum(axis=2)              # [B, oh, H]
+        x = jnp.einsum("boh,bhwc->bowc", wh, images.astype(f32),
+                       precision=hp)
+        ww = (jax.nn.one_hot(col_idx, images.shape[2], dtype=f32)
+              * col_w[..., None]).sum(axis=2)              # [B, ow, W]
+        x = jnp.einsum("bow,bhwc->bhoc", ww, x, precision=hp)
+        return extract_fn(x, out_extents)
+
+    return fn
+
+
+def _tap_batch(
+    in_sizes: np.ndarray,
+    out_sizes: np.ndarray,
+    valid: np.ndarray,
+    out_pad: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """[B, out_pad, k] (indices, weights) tap tables for a batch of
+    per-image resizes (k = max triangle support width over valid rows;
+    rows beyond an image's output extent, and invalid rows, carry zero
+    weight)."""
+    B = len(in_sizes)
+    k = 3
+    for r in range(B):
+        if valid[r]:
+            ks = max(in_sizes[r] / out_sizes[r], 1.0)
+            k = max(k, 2 * int(math.ceil(ks)) + 1)
+    idx = np.zeros((B, out_pad, k), np.int32)
+    w = np.zeros((B, out_pad, k), np.float32)
+    for r in range(B):
+        if not valid[r]:
+            continue
+        n = int(out_sizes[r])
+        ri, rw = _resize_taps(int(in_sizes[r]), n, k=k)
+        idx[r, :n] = ri
+        w[r, :n] = rw
+    return idx, w
+
+
+class _DeviceScaleStream(_BucketStream):
+    """Bucketed multi-scale extraction with ON-DEVICE resize.
+
+    Each image transfers to the device ONCE at native resolution (padded
+    into its bucket); every scale then runs a compiled program that
+    resizes on-device via per-image tap tables (``_scaled_extract_factory``)
+    and feeds the masked extractor.  Vs the host-resize path this removes
+    all per-scale host resizes AND shrinks host->device traffic ~1.8x at
+    the reference's ms=[1, 2^-1/2, 1/2] eval point — on the 1-core rig
+    the host was the multi-scale bottleneck (VERDICT r2 weak #4).
+
+    Exactness: tap indices cover only the valid extent, so results match
+    the host-resize path to float rounding (tests/test_device_scales.py).
+    The reference's <36px scale guard (utils/helpfunc.py:30-46) is
+    applied per image per scale; rows whose scale is skipped are dropped
+    at readback.  With ``extent_multiple`` > 1, every scale (including
+    1.0) routes through the resize program so the model always sees
+    grid-aligned extents.
+    """
+
+    def __init__(self, extract_fn, bucket: int, batch_size: int, scales,
+                 extent_multiple: int = 1, mesh=None, pipeline_depth: int = 2):
+        super().__init__(extract_fn, bucket, batch_size, mesh=mesh,
+                         pipeline_depth=pipeline_depth)
+        self.scales = tuple(scales)
+        self.multiple = max(1, int(extent_multiple))
+        scaled = _scaled_extract_factory(extract_fn)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self.jitted_scaled = jax.jit(
+                scaled, out_shardings=NamedSharding(mesh, PartitionSpec())
+            )
+        else:
+            self.jitted_scaled = jax.jit(scaled)
+
+    def _dispatch(self, key: tuple[int, int], chunk) -> None:
+        batch, extents = self._assemble(key, chunk)
+        dev_batch = self.put(batch)
+        for s in self.scales:
+            self._dispatch_scale(dev_batch, key, chunk, extents, s)
+
+    def _dispatch_scale(self, dev_batch, key, chunk, extents, s: float):
+        bh, bw = key
+        B = self.batch_size
+        mult = self.multiple
+        outs = np.zeros((B, 2), np.int64)
+        valid = np.zeros((B,), bool)
+        for r in range(len(chunk)):
+            vh, vw = int(extents[r, 0]), int(extents[r, 1])
+            nh, nw = int(math.floor(vh * s)), int(math.floor(vw * s))
+            if nh < _MIN_SIDE or nw < _MIN_SIDE:
+                continue  # reference guard: skip this scale for this image
+            if mult > 1:
+                nh, nw = _snap(nh, mult), _snap(nw, mult)
+            outs[r] = (nh, nw)
+            valid[r] = True
+        if not valid.any():
+            return
+        pairs = [(r, owner) for r, (owner, _) in enumerate(chunk) if valid[r]]
+        if s == 1.0 and mult == 1:
+            # no resample needed and extents need no alignment: reuse the
+            # plain masked program on the already-transferred batch
+            vecs = self.jitted(dev_batch, self.put(extents))
+            self._enqueue(pairs, vecs)
+            return
+        # static padded output shape for this (bucket, scale) program;
+        # nearest-multiple snapping can round up by mult//2 past
+        # floor(bh*s), hence the margin before bucket-quantizing
+        qb = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
+        margin = mult // 2 if mult > 1 else 0
+        ohp = qb(int(math.floor(bh * s)) + margin)
+        owp = qb(int(math.floor(bw * s)) + margin)
+        ri, rw = _tap_batch(extents[:, 0], outs[:, 0], valid, ohp)
+        ci, cw = _tap_batch(extents[:, 1], outs[:, 1], valid, owp)
+        # invalid/padding rows get full-extent feeds; their outputs are
+        # dropped (pairs excludes them), the extents only keep the masked
+        # model's valid_hw arithmetic in-range
+        feed = np.where(valid[:, None], outs, (ohp, owp)).astype(np.int32)
+        vecs = self.jitted_scaled(dev_batch, self.put(ri), self.put(rw),
+                                  self.put(ci), self.put(cw),
+                                  self.put(feed))
+        self._enqueue(pairs, vecs)
 
 
 def extract_vectors(
@@ -313,6 +461,7 @@ def extract_vectors(
     mesh=None,
     extent_multiple: int = 1,
     pipeline_depth: int = 2,
+    device_scales: bool = False,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -347,6 +496,12 @@ def extract_vectors(
         flight before the host blocks on a readback (bucketed mode).
         The default of 2 overlaps host decode/resize of upcoming images
         with device compute; 0 restores fully synchronous behavior.
+      device_scales: multi-scale bucketed mode only — transfer each
+        image once at native resolution and resize ON DEVICE via exact
+        per-image tap tables (``_DeviceScaleStream``) instead of
+        resizing per scale on the host.  Removes the host resize stage
+        entirely and shrinks H2D traffic ~1.8x at the reference ms3
+        operating point.
 
     Returns:
       [N, D] numpy array of descriptors in input order.
@@ -364,12 +519,22 @@ def extract_vectors(
     # Stream: decode/resize image i+1.. on the host while the device
     # runs earlier batches (images may be a lazy loader, e.g.
     # data.eval_loader.ImageFromList — decode happens per-item here).
-    stream = _BucketStream(extract_fn, bucket, batch_size, mesh=mesh,
-                           pipeline_depth=pipeline_depth)
+    multi = not (len(scales) == 1 and scales[0] == 1.0)
+    if device_scales and multi:
+        stream = _DeviceScaleStream(
+            extract_fn, bucket, batch_size, scales,
+            extent_multiple=extent_multiple, mesh=mesh,
+            pipeline_depth=pipeline_depth,
+        )
+        expand = lambda i, img: [(i, img)]  # scales resolve on device
+    else:
+        stream = _BucketStream(extract_fn, bucket, batch_size, mesh=mesh,
+                               pipeline_depth=pipeline_depth)
+        expand = lambda i, img: _scale_tasks(i, img, scales,
+                                             multiple=extent_multiple)
     n = 0
     for i, img in enumerate(images):
-        for owner, task in _scale_tasks(i, np.asarray(img), scales,
-                                        multiple=extent_multiple):
+        for owner, task in expand(i, np.asarray(img, np.float32)):
             stream.add(owner, task)
         n = i + 1
         if print_freq and (n % print_freq == 0):
@@ -388,12 +553,21 @@ def extract_vectors(
             out[owner] = vec
         return np.stack(out)  # type: ignore[arg-type]
 
+    if not results:  # device_scales path: every scale of every image skipped
+        raise ValueError(
+            f"All scales {scales} shrink every image below {_MIN_SIDE}px"
+        )
     acc = np.zeros((n, results[0][1].shape[-1]), np.float32)
     kept = np.zeros((n,), np.int32)
     for owner, vec in results:
         acc[owner] += vec
         kept[owner] += 1
-    acc /= np.maximum(kept, 1)[:, None]
+    if (kept == 0).any():  # device_scales path: guard surfaces here
+        bad = int(np.argmax(kept == 0))
+        raise ValueError(
+            f"All scales {scales} shrink image {bad} below {_MIN_SIDE}px"
+        )
+    acc /= kept[:, None]
     return np.asarray(l2_normalize(jnp.asarray(acc)))
 
 

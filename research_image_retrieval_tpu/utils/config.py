@@ -83,6 +83,11 @@ class EvalConfig:
     # thumbnails caps distinct buckets at ~8 per scale (the max side is
     # always exactly imsize, only the short side varies)
     bucket: int = 128
+    # multi-scale bucketed extraction: resize on DEVICE via exact
+    # per-image tap tables (index/extract._DeviceScaleStream) — one H2D
+    # transfer per image instead of per scale, no host resize stage.
+    # False restores per-scale host resizes (native C++/numpy).
+    device_scales: bool = True
     checkpoint: str | None = None
     kappas: tuple = (1, 5, 10)
     alpha_qe: bool = False

@@ -1,0 +1,108 @@
+"""Device-side multi-scale resize (extract_vectors(device_scales=True)).
+
+Contract: the on-device tap-table resize path produces the SAME
+descriptors as the host-resize streaming path (which in turn equals the
+reference's exact-shape multi-scale loop, tests/test_bucketed_extract.py)
+— including the <36px per-scale skip guard, mixed buckets, padded tail
+batches, extent_multiple snapping, and mesh sharding.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from research_image_retrieval_tpu.index import extract_vectors
+from research_image_retrieval_tpu.models import get_model
+
+SCALES3 = (1.0, 2 ** -0.5, 0.5)
+
+
+def _gem(rng, outputdim=24):
+    model = get_model("gem_r50", backbone_name="resnet18",
+                      outputdim=outputdim, num_classes=4)
+    im = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    return model, variables
+
+
+def test_device_scales_matches_host_path(rng):
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    sizes = [(80, 100), (100, 80), (72, 72), (96, 56), (80, 100)]
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32)
+            for h, w in sizes]
+
+    host = extract_vectors(masked, imgs, scales=SCALES3, bucket=32,
+                           batch_size=2)
+    dev = extract_vectors(masked, imgs, scales=SCALES3, bucket=32,
+                          batch_size=2, device_scales=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_scales_skip_guard(rng):
+    """A 50px image drops the 0.5 scale (floor(50*0.5)=25 < 36) on both
+    paths; sum/kept averaging must agree."""
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    imgs = [rng.standard_normal((50, 60, 3)).astype(np.float32),
+            rng.standard_normal((90, 90, 3)).astype(np.float32)]
+
+    host = extract_vectors(masked, imgs, scales=SCALES3, bucket=32,
+                           batch_size=2)
+    dev = extract_vectors(masked, imgs, scales=SCALES3, bucket=32,
+                          batch_size=2, device_scales=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_scales_all_skipped_raises(rng):
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    tiny = [rng.standard_normal((20, 20, 3)).astype(np.float32)]
+    with pytest.raises(ValueError, match="below"):
+        extract_vectors(masked, tiny, scales=(0.5,), bucket=32,
+                        batch_size=2, device_scales=True)
+
+
+def test_device_scales_extent_multiple(rng):
+    """Patch models: every scale (incl. 1.0) snaps to the grid multiple on
+    device, matching the host snap-then-resize path."""
+    model = get_model("vit_s16", variant="test", outputdim=32, img_size=64,
+                      num_classes=4)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    multiple = model.extent_multiple
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    imgs = [rng.standard_normal((h, w, 3)).astype(np.float32)
+            for h, w in [(70, 91), (90, 62), (64, 64)]]
+    scales = (1.0, 2 ** -0.5)
+
+    host = extract_vectors(masked, imgs, scales=scales, bucket=32,
+                           batch_size=2, extent_multiple=multiple)
+    dev = extract_vectors(masked, imgs, scales=scales, bucket=32,
+                          batch_size=2, extent_multiple=multiple,
+                          device_scales=True)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_device_scales_mesh_matches_single_device(rng):
+    from research_image_retrieval_tpu.parallel import make_mesh
+
+    model, variables = _gem(rng, outputdim=16)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    imgs = [rng.standard_normal((40 + 3 * i, 40, 3)).astype(np.float32)
+            for i in range(6)]
+    scales = (1.0, 2 ** -0.5)
+
+    single = extract_vectors(masked, imgs, scales=scales, bucket=32,
+                             batch_size=8, device_scales=True)
+    mesh = make_mesh(data=8, model=1)
+    sharded = extract_vectors(masked, imgs, scales=scales, bucket=32,
+                              batch_size=8, mesh=mesh, device_scales=True)
+    np.testing.assert_allclose(sharded, single, atol=1e-6)
