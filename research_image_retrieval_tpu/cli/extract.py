@@ -78,6 +78,17 @@ def main(argv=None):
     model, variables = _load_model(cfg)
     extract, bucket, multiple = _make_extract_fn(model, variables)
     scales = (1.0, 2 ** -0.5, 0.5) if args.multiscale else (1.0,)
+    # device-scales mode ships RAW uint8 + fused normalization (4x fewer
+    # H2D bytes); requires the bucketed masked path
+    dev = not args.host_scales and bucket is not None
+    norm = None
+    if dev:
+        from research_image_retrieval_tpu.data.transforms import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        norm = (IMAGENET_MEAN, IMAGENET_STD)
 
     names: list = []
     labels = None
@@ -86,7 +97,8 @@ def main(argv=None):
         if not paths:
             raise SystemExit(f"no images under {args.images}")
         names = [os.path.relpath(p, args.images) for p in paths]
-        loader = ImageFromList(paths, imsize=args.imsize or None)
+        loader = ImageFromList(paths, imsize=args.imsize or None,
+                               raw_uint8=dev)
     elif args.records:
         from research_image_retrieval_tpu.data import RecordDataset
 
@@ -94,6 +106,7 @@ def main(argv=None):
         labels = ds.labels()
         names = [str(i) for i in range(len(ds))]
         loader = [ds[i][0] for i in range(len(ds))]
+        dev, norm = False, None  # records yield pre-normalized floats
     else:
         from research_image_retrieval_tpu.data.revisited import RevisitedDataset
 
@@ -104,15 +117,17 @@ def main(argv=None):
                 ds.qim_fnames,
                 imsize=args.imsize or None,
                 bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
+                raw_uint8=dev,
             )
         else:
             names = list(ds.imlist)
-            loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None)
+            loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None,
+                                   raw_uint8=dev)
 
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
                            batch_size=args.batch_size, print_freq=100,
                            extent_multiple=multiple,
-                           device_scales=not args.host_scales)
+                           device_scales=dev, input_norm=norm)
     vecs = np.asarray(vecs, np.float32)
     if args.quantize_int8:
         from research_image_retrieval_tpu.ops import quantize_gallery_int8

@@ -45,6 +45,10 @@ class ImageFromList:
       bbxs: optional per-image (x1, y1, x2, y2) crop boxes (query crops).
       normalize_input: apply ImageNet normalization.
       bgr: RGB -> BGR for Caffe-pretrained backbones.
+      raw_uint8: yield RAW uint8 after crop/thumbnail (no /255, no
+        normalization) — for ``extract_vectors(input_norm=...)``, which
+        normalizes inside the device programs and transfers 4x fewer
+        host->device bytes.
     """
 
     def __init__(
@@ -54,12 +58,14 @@ class ImageFromList:
         bbxs: Sequence | None = None,
         normalize_input: bool = True,
         bgr: bool = False,
+        raw_uint8: bool = False,
     ):
         self.paths = list(paths)
         self.imsize = imsize
         self.bbxs = list(bbxs) if bbxs is not None else None
         self.normalize_input = normalize_input
         self.bgr = bgr
+        self.raw_uint8 = raw_uint8
 
     def __len__(self):
         return len(self.paths)
@@ -71,6 +77,10 @@ class ImageFromList:
             img = img[y1:y2, x1:x2]
         if self.imsize is not None:
             img = imthumbnail(img, self.imsize)
+        if self.raw_uint8:
+            if self.bgr:
+                img = rgb_to_bgr(img)
+            return np.ascontiguousarray(img, np.uint8)
         img = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
         if self.normalize_input:
             img = normalize(img, IMAGENET_MEAN, IMAGENET_STD)

@@ -22,6 +22,10 @@ from research_image_retrieval_tpu.data import (
     SyntheticRetrievalDataset,
     make_synthetic_gnd,
 )
+from research_image_retrieval_tpu.data.transforms import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+)
 from research_image_retrieval_tpu.evaluation.revisited import (
     compute_map_and_print,
 )
@@ -120,19 +124,25 @@ def evaluate(cfg: EvalConfig):
             continue
 
         ds = RevisitedDataset(dataset, cfg.data_root)
-        db_loader = ImageFromList(ds.im_fnames, imsize=cfg.imsize)
+        # device_scales: ship RAW uint8 (4x fewer H2D bytes) and fuse
+        # normalization + scale resizes into the device programs
+        dev = cfg.device_scales and bucket is not None
+        norm = (IMAGENET_MEAN, IMAGENET_STD) if dev else None
+        db_loader = ImageFromList(ds.im_fnames, imsize=cfg.imsize,
+                                  raw_uint8=dev)
         q_loader = ImageFromList(
             ds.qim_fnames, imsize=cfg.imsize,
             bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
+            raw_uint8=dev,
         )
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
                                print_freq=100, bucket=bucket,
                                extent_multiple=multiple,
-                               device_scales=cfg.device_scales)
+                               device_scales=dev, input_norm=norm)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
                                 print_freq=100, bucket=bucket,
                                 extent_multiple=multiple,
-                                device_scales=cfg.device_scales)
+                                device_scales=dev, input_norm=norm)
         if cfg.pca_whiten:
             vecs, qvecs = _whiten(vecs, qvecs, cfg)
         if cfg.alpha_qe:

@@ -261,6 +261,7 @@ class _BucketStream:
         self.bucket = bucket
         self.batch_size = batch_size
         self.depth = max(0, pipeline_depth)
+        self.in_dtype = np.float32
         self.pending: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
         self.inflight: list[tuple[list[int], jax.Array]] = []
         self.out: list[tuple[int, np.ndarray]] = []
@@ -276,7 +277,7 @@ class _BucketStream:
 
     def _assemble(self, key: tuple[int, int], chunk):
         bh, bw = key
-        batch = np.zeros((self.batch_size, bh, bw, 3), np.float32)
+        batch = np.zeros((self.batch_size, bh, bw, 3), self.in_dtype)
         extents = np.full((self.batch_size, 2), (bh, bw), np.int32)
         for k, (_, img) in enumerate(chunk):
             batch[k, : img.shape[0], : img.shape[1]] = img
@@ -383,13 +384,36 @@ class _DeviceScaleStream(_BucketStream):
     at readback.  With ``extent_multiple`` > 1, every scale (including
     1.0) routes through the resize program so the model always sees
     grid-aligned extents.
+
+    ``input_norm=(mean, std)`` switches the H2D transfer to RAW uint8 (4x
+    fewer bytes — on tunnel/network-attached accelerators the fp32 batch
+    transfer is the single largest pipeline cost, BENCH.md) and fuses
+    ``(x/255 - mean)/std`` into the device programs.  Normalization is
+    affine and the resize weights sum to 1 per output sample, so
+    device-side normalize-after-resize equals the host's
+    normalize-then-resize to float rounding.  Single-scale ``(1.0,)`` is
+    supported in this mode: the reference's <36px UPSCALE guard routes
+    tiny rows through the resize program with upscale taps.
     """
 
     def __init__(self, extract_fn, bucket: int, batch_size: int, scales,
-                 extent_multiple: int = 1, mesh=None, pipeline_depth: int = 2):
+                 extent_multiple: int = 1, mesh=None, pipeline_depth: int = 2,
+                 input_norm=None):
+        if input_norm is not None:
+            mean = jnp.asarray(np.asarray(input_norm[0], np.float32))
+            std = jnp.asarray(np.asarray(input_norm[1], np.float32))
+            base_fn = extract_fn
+
+            def extract_fn(x, valid_hw):  # noqa: F811 — normalized wrapper
+                x = (x.astype(jnp.float32) / 255.0 - mean) / std
+                return base_fn(x, valid_hw)
+
         super().__init__(extract_fn, bucket, batch_size, mesh=mesh,
                          pipeline_depth=pipeline_depth)
+        if input_norm is not None:
+            self.in_dtype = np.uint8
         self.scales = tuple(scales)
+        self.single = self.scales == (1.0,)
         self.multiple = max(1, int(extent_multiple))
         scaled = _scaled_extract_factory(extract_fn)
         if mesh is not None:
@@ -413,31 +437,43 @@ class _DeviceScaleStream(_BucketStream):
         mult = self.multiple
         outs = np.zeros((B, 2), np.int64)
         valid = np.zeros((B,), bool)
+        any_resize = False
         for r in range(len(chunk)):
             vh, vw = int(extents[r, 0]), int(extents[r, 1])
-            nh, nw = int(math.floor(vh * s)), int(math.floor(vw * s))
-            if nh < _MIN_SIDE or nw < _MIN_SIDE:
-                continue  # reference guard: skip this scale for this image
+            if self.single:
+                # reference single-scale guard (helpfunc.py:22-29):
+                # upscale tiny images so the min side reaches ~64px
+                nh, nw = vh, vw
+                if vh < _MIN_SIDE or vw < _MIN_SIDE:
+                    f = max(_UPSCALE_TARGET / vh, _UPSCALE_TARGET / vw)
+                    nh, nw = int(round(vh * f)), int(round(vw * f))
+            else:
+                nh, nw = int(math.floor(vh * s)), int(math.floor(vw * s))
+                if nh < _MIN_SIDE or nw < _MIN_SIDE:
+                    continue  # reference guard: skip this scale/image
             if mult > 1:
                 nh, nw = _snap(nh, mult), _snap(nw, mult)
             outs[r] = (nh, nw)
             valid[r] = True
+            any_resize |= (nh, nw) != (vh, vw)
         if not valid.any():
             return
         pairs = [(r, owner) for r, (owner, _) in enumerate(chunk) if valid[r]]
-        if s == 1.0 and mult == 1:
-            # no resample needed and extents need no alignment: reuse the
-            # plain masked program on the already-transferred batch
+        if not any_resize:
+            # every valid row keeps its native extents: reuse the plain
+            # masked program on the already-transferred batch
             vecs = self.jitted(dev_batch, self.put(extents))
             self._enqueue(pairs, vecs)
             return
         # static padded output shape for this (bucket, scale) program;
         # nearest-multiple snapping can round up by mult//2 past
-        # floor(bh*s), hence the margin before bucket-quantizing
+        # floor(bh*s), hence the margin before bucket-quantizing.  Tiny-
+        # row upscales (single-scale guard) can exceed the static bound —
+        # rare, so the shape grows with the batch max instead.
         qb = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
         margin = mult // 2 if mult > 1 else 0
-        ohp = qb(int(math.floor(bh * s)) + margin)
-        owp = qb(int(math.floor(bw * s)) + margin)
+        ohp = qb(max(int(math.floor(bh * s)) + margin, int(outs[:, 0].max())))
+        owp = qb(max(int(math.floor(bw * s)) + margin, int(outs[:, 1].max())))
         ri, rw = _tap_batch(extents[:, 0], outs[:, 0], valid, ohp)
         ci, cw = _tap_batch(extents[:, 1], outs[:, 1], valid, owp)
         # invalid/padding rows get full-extent feeds; their outputs are
@@ -462,6 +498,7 @@ def extract_vectors(
     extent_multiple: int = 1,
     pipeline_depth: int = 2,
     device_scales: bool = False,
+    input_norm=None,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -502,10 +539,19 @@ def extract_vectors(
         resizing per scale on the host.  Removes the host resize stage
         entirely and shrinks H2D traffic ~1.8x at the reference ms3
         operating point.
+      input_norm: optional (mean, std) in 0-1 scale — requires
+        ``device_scales``; images must then be RAW uint8 RGB and the
+        device programs fuse ``(x/255 - mean)/std``.  Cuts H2D bytes 4x
+        on top of device_scales (single-scale ``(1.0,)`` is supported in
+        this mode too).
 
     Returns:
       [N, D] numpy array of descriptors in input order.
     """
+    if input_norm is not None and (not device_scales or bucket is None):
+        raise ValueError("input_norm requires device_scales=True and "
+                         "bucketed mode (uint8 images are normalized "
+                         "inside the device programs)")
     if bucket is None:
         imgs = [np.asarray(img) for img in images]
         if not imgs:
@@ -520,11 +566,11 @@ def extract_vectors(
     # runs earlier batches (images may be a lazy loader, e.g.
     # data.eval_loader.ImageFromList — decode happens per-item here).
     multi = not (len(scales) == 1 and scales[0] == 1.0)
-    if device_scales and multi:
+    if device_scales and (multi or input_norm is not None):
         stream = _DeviceScaleStream(
             extract_fn, bucket, batch_size, scales,
             extent_multiple=extent_multiple, mesh=mesh,
-            pipeline_depth=pipeline_depth,
+            pipeline_depth=pipeline_depth, input_norm=input_norm,
         )
         expand = lambda i, img: [(i, img)]  # scales resolve on device
     else:
@@ -532,9 +578,17 @@ def extract_vectors(
                                pipeline_depth=pipeline_depth)
         expand = lambda i, img: _scale_tasks(i, img, scales,
                                              multiple=extent_multiple)
+    in_dtype = stream.in_dtype
     n = 0
     for i, img in enumerate(images):
-        for owner, task in expand(i, np.asarray(img, np.float32)):
+        img = np.asarray(img)
+        if in_dtype == np.uint8 and img.dtype != np.uint8:
+            raise ValueError(
+                "input_norm expects RAW uint8 images (got "
+                f"{img.dtype} for image {i}); use e.g. "
+                "ImageFromList(raw_uint8=True)"
+            )
+        for owner, task in expand(i, img.astype(in_dtype, copy=False)):
             stream.add(owner, task)
         n = i + 1
         if print_freq and (n % print_freq == 0):

@@ -91,6 +91,76 @@ def test_device_scales_extent_multiple(rng):
     np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
 
 
+def _norm(u8):
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    return ((u8.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+            / IMAGENET_STD).astype(np.float32)
+
+
+def test_uint8_input_norm_matches_host_float_path(rng):
+    """RAW uint8 + fused device normalization == host-normalized floats
+    through the host-resize path (normalize/resize commute: affine map,
+    weights sum to 1)."""
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    sizes = [(80, 100), (100, 80), (72, 72), (96, 56)]
+    u8 = [(rng.random((h, w, 3)) * 255).astype(np.uint8) for h, w in sizes]
+    host_imgs = [_norm(im) for im in u8]
+
+    for scales in (SCALES3, (1.0,)):
+        host = extract_vectors(masked, host_imgs, scales=scales, bucket=32,
+                               batch_size=2)
+        dev = extract_vectors(masked, u8, scales=scales, bucket=32,
+                              batch_size=2, device_scales=True,
+                              input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+        np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_uint8_single_scale_upscale_guard(rng):
+    """Single-scale uint8 mode applies the reference's <36px UPSCALE
+    guard (helpfunc.py:22-29) through the device resize program."""
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    u8 = [(rng.random((20, 30, 3)) * 255).astype(np.uint8),
+          (rng.random((60, 60, 3)) * 255).astype(np.uint8)]
+    host_imgs = [_norm(im) for im in u8]
+
+    host = extract_vectors(masked, host_imgs, scales=(1.0,), bucket=32,
+                           batch_size=2)
+    dev = extract_vectors(masked, u8, scales=(1.0,), bucket=32,
+                          batch_size=2, device_scales=True,
+                          input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+
+
+def test_input_norm_misuse_raises(rng):
+    model, variables = _gem(rng)
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    f32 = [rng.standard_normal((64, 64, 3)).astype(np.float32)]
+    u8 = [(rng.random((64, 64, 3)) * 255).astype(np.uint8)]
+    norm = (np.zeros(3, np.float32), np.ones(3, np.float32))
+
+    with pytest.raises(ValueError, match="device_scales"):
+        extract_vectors(masked, u8, bucket=32, input_norm=norm)
+    with pytest.raises(ValueError, match="uint8"):
+        extract_vectors(masked, f32, bucket=32, device_scales=True,
+                        input_norm=norm)
+
+
 def test_device_scales_mesh_matches_single_device(rng):
     from research_image_retrieval_tpu.parallel import make_mesh
 
