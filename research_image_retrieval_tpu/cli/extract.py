@@ -38,6 +38,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-scale resizes on the host instead of the "
                         "on-device tap-table resize (debug/fallback)")
     p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--fast-decode", action="store_true",
+                   help="native DCT-prescaled JPEG decode (decodes at the "
+                        "smallest 1/2^k scale still >= --imsize; big win "
+                        "when sources are much larger than --imsize, not "
+                        "the strict-parity decode path)")
     p.add_argument("--quantize-int8", action="store_true",
                    help="store the index as symmetric per-row int8 "
                         "(vecs_int8 + scales; 4x smaller on disk, half "
@@ -98,7 +103,7 @@ def main(argv=None):
             raise SystemExit(f"no images under {args.images}")
         names = [os.path.relpath(p, args.images) for p in paths]
         loader = ImageFromList(paths, imsize=args.imsize or None,
-                               raw_uint8=dev)
+                               raw_uint8=dev, fast_decode=args.fast_decode)
     elif args.records:
         from research_image_retrieval_tpu.data import RecordDataset
 

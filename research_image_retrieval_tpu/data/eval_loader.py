@@ -24,8 +24,24 @@ from research_image_retrieval_tpu.data.transforms import (
 __all__ = ["ImageFromList", "load_image"]
 
 
-def load_image(path: str) -> np.ndarray:
-    """Load an image file as RGB uint8 HWC."""
+def load_image(path: str, max_side: int = 0) -> np.ndarray:
+    """Load an image file as RGB uint8 HWC.
+
+    ``max_side`` > 0 enables DCT-domain prescaling for JPEGs through the
+    native decoder (native/rir_decoder.cc): libjpeg emits the smallest
+    1/2^k scaling whose max side is still >= ``max_side``, skipping most
+    of the IDCT + color-convert work for sources much larger than the
+    thumbnail target.  The caller still owns the exact final resize.
+    """
+    if max_side > 0 and path.lower().endswith((".jpg", ".jpeg")):
+        from research_image_retrieval_tpu.data.native_decode import (
+            decode_jpeg,
+            native_available,
+        )
+
+        if native_available():
+            with open(path, "rb") as f:
+                return decode_jpeg(f.read(), max_side=max_side)
     import cv2
 
     img = cv2.imread(path, cv2.IMREAD_COLOR)
@@ -49,6 +65,14 @@ class ImageFromList:
         normalization) — for ``extract_vectors(input_norm=...)``, which
         normalizes inside the device programs and transfers 4x fewer
         host->device bytes.
+      fast_decode: decode JPEGs with native DCT-domain prescaling to the
+        smallest 1/2^k scale still >= ``imsize`` before the exact
+        thumbnail resize.  Skips most decode work for sources much
+        larger than ``imsize`` (e.g. GLDv2 index building).  Images with
+        a bbox still decode at full resolution (crop coordinates are in
+        original pixels).  NOT the reference decode path — prescaled
+        pixels differ from a full decode at the interpolation level, so
+        leave off for strict-parity runs.
     """
 
     def __init__(
@@ -59,6 +83,7 @@ class ImageFromList:
         normalize_input: bool = True,
         bgr: bool = False,
         raw_uint8: bool = False,
+        fast_decode: bool = False,
     ):
         self.paths = list(paths)
         self.imsize = imsize
@@ -66,12 +91,18 @@ class ImageFromList:
         self.normalize_input = normalize_input
         self.bgr = bgr
         self.raw_uint8 = raw_uint8
+        self.fast_decode = fast_decode
 
     def __len__(self):
         return len(self.paths)
 
     def __getitem__(self, i: int) -> np.ndarray:
-        img = load_image(self.paths[i])
+        has_bbx = self.bbxs is not None and self.bbxs[i] is not None
+        prescale = (
+            self.imsize if (self.fast_decode and self.imsize and not has_bbx)
+            else 0
+        )
+        img = load_image(self.paths[i], max_side=prescale)
         if self.bbxs is not None and self.bbxs[i] is not None:
             x1, y1, x2, y2 = (int(round(v)) for v in self.bbxs[i])
             img = img[y1:y2, x1:x2]

@@ -134,6 +134,35 @@ class TestImageFromList:
         # 60x50 crop -> thumbnail max side 30 (w side)
         assert img.shape[1] == 30
 
+    def test_fast_decode_prescale(self, tmp_path):
+        """DCT-prescaled decode yields the same shape and near-identical
+        pixels for smooth content; bbox images keep the full decode (crop
+        coordinates are in original pixels)."""
+        import cv2
+
+        h, w = 256, 512
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack(
+            [xx * (255 / w), yy * (255 / h), (xx + yy) * (255 / (h + w))],
+            axis=-1,
+        ).astype(np.uint8)
+        p = tmp_path / "big.jpg"
+        cv2.imwrite(str(p), cv2.cvtColor(smooth, cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 97])
+
+        exact = ImageFromList([str(p)], imsize=64)[0]
+        fast = ImageFromList([str(p)], imsize=64, fast_decode=True)[0]
+        assert fast.shape == exact.shape
+        # prescaled pixels interpolate differently but stay close on
+        # smooth content (both paths end in the exact thumbnail resize)
+        assert np.mean(np.abs(fast - exact)) < 0.05
+
+        bb_exact = ImageFromList([str(p)], imsize=64,
+                                 bbxs=[(10, 10, 200, 100)])[0]
+        bb_fast = ImageFromList([str(p)], imsize=64, fast_decode=True,
+                                bbxs=[(10, 10, 200, 100)])[0]
+        np.testing.assert_array_equal(bb_fast, bb_exact)
+
 
 class TestPipeline:
     def test_sharding_covers_all_once(self):
