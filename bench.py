@@ -9,6 +9,14 @@ so tail-parsers keep working.  Metrics:
 * ``gem_r50_extract_imgs_per_sec_1024_ms3`` — bf16 extraction at the
   reference's eval operating point: imsize 1024, multi-scale
   [1, 2^-1/2, 1/2] sum-then-renormalize (reference utils/helpfunc.py:30-46).
+  Device compute only (images device-resident) — the per-chip ceiling.
+* ``gem_r50_pipe_extract_imgs_per_sec_1024_ms3`` — the same operating
+  point END-TO-END through ``index.extract_vectors``: variable-resolution
+  RAW uint8 host images stream through the bucketed pipeline
+  (single H2D transfer per image, on-device tap-table scale resizes,
+  fused input normalization, deferred readbacks).  Wall-clock includes
+  all host padding/tap-table/transfer work — the honest index-building
+  throughput on this 1-core host.
 * ``gem_r50_train_imgs_per_sec_512_b32_arcface81313`` — full train-step
   throughput (fwd+bwd+SGD) at the reference recipe's 512px with the real
   81,313-class ArcFace head, per chip.
@@ -87,6 +95,58 @@ def _extract_1024_ms3(get_model, timed_slope):
     v = batch / sec
     return {
         "metric": "gem_r50_extract_imgs_per_sec_1024_ms3",
+        "value": round(v, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    }
+
+
+def _extract_pipe_1024_ms3(get_model):
+    """End-to-end streaming extraction at the reference's eval operating
+    point (imsize 1024, ms=[1, 2^-1/2, 1/2]) — wall-clock through
+    ``extract_vectors`` with device-side scales + fused uint8
+    normalization, over variable-resolution host images.
+
+    Shapes are limited to two aspect-preserved buckets so a cold run
+    compiles ~6 programs (persistent cache makes repeats near-free);
+    decode is excluded (images pre-decoded in RAM — the native JPEG
+    decode stage is measured separately in BENCH.md and scales with
+    host cores, of which this rig has one).
+    """
+    import time
+
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from research_image_retrieval_tpu.index import extract_vectors
+
+    model = get_model("gem_r50", num_classes=1024, dtype=jnp.bfloat16)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+
+    def masked(x, valid_hw):
+        return model.apply(variables, x, valid_hw, method="extract")
+
+    rng = np.random.default_rng(3)
+    shapes = [(768, 1024), (1024, 768)]
+    n_img = 48
+    imgs = [rng.integers(0, 256, (*shapes[i % 2], 3), dtype=np.uint8)
+            for i in range(n_img)]
+    norm = (IMAGENET_MEAN, IMAGENET_STD)
+    kw = dict(scales=(1.0, 2 ** -0.5, 0.5), bucket=128, batch_size=4,
+              device_scales=True, input_norm=norm, pipeline_depth=2)
+    extract_vectors(masked, imgs[:8], **kw)  # compile + warm the pipeline
+    t0 = time.time()
+    vecs = extract_vectors(masked, imgs, **kw)
+    sec = time.time() - t0
+    assert vecs.shape[0] == n_img
+    v = n_img / sec
+    return {
+        "metric": "gem_r50_pipe_extract_imgs_per_sec_1024_ms3",
         "value": round(v, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
@@ -222,6 +282,7 @@ def main():
         (_topk_1p4m, (timed_slope,)),
         (_train_step_512, (get_model, timed_slope)),
         (_extract_1024_ms3, (get_model, timed_slope)),
+        (_extract_pipe_1024_ms3, (get_model,)),
     ):
         if time.time() - t0 > budget:
             print(json.dumps({"metric": fn.__name__, "skipped":

@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("float32", "bfloat16"),
                    help="backbone compute dtype (the reference's AMP "
                         "analogue; losses/descriptors stay fp32)")
+    p.add_argument("--host-norm", dest="raw_input", action="store_false",
+                   default=None,
+                   help="normalize inputs on the host (float32 batches) "
+                        "instead of the default RAW-uint8 device-fused "
+                        "path")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="debug: cap steps per epoch")
     return p

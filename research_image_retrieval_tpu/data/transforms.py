@@ -176,14 +176,29 @@ class TrainTransform:
     Randomness is seeded by (seed, epoch, index): deterministic and
     resumable, but each epoch sees fresh augmentations.  The data pipeline
     calls ``set_epoch`` at epoch boundaries (DistributedSampler-style).
+
+    ``raw_uint8=True`` yields RAW uint8 crops (no /255, no mean/std): the
+    train step fuses ``(x/255 - mean)/std`` on-device (train/loop.py
+    ``input_norm``), cutting host->device bytes 4x and skipping all host
+    float math.  Crop/flip/jitter then run in uint8 space — which is
+    what the REFERENCE does too (torchvision RandomResizedCrop +
+    ColorJitter operate on uint8 PIL images before ToTensor,
+    configdataset.py:417-424); the default float path quantizes nothing
+    and differs from uint8 staging by < 1/255 per channel.
     """
 
     def __init__(self, imsize: int = 512, seed: int = 0, jitter_p: float = 0.8,
-                 bgr: bool = False):
+                 bgr: bool = False, raw_uint8: bool = False):
+        if raw_uint8 and bgr:
+            raise ValueError(
+                "raw_uint8 stages normalization on-device with RGB stats; "
+                "the BGR (Caffe) path needs host normalization"
+            )
         self.imsize = imsize
         self.seed = seed
         self.jitter_p = jitter_p
         self.bgr = bgr
+        self.raw_uint8 = raw_uint8
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -191,12 +206,21 @@ class TrainTransform:
 
     def __call__(self, img: np.ndarray, index: int = 0) -> np.ndarray:
         rng = np.random.default_rng((self.seed, self.epoch, index))
-        img = _to_float(img)
+        if not self.raw_uint8:
+            img = _to_float(img)
+        elif img.dtype != np.uint8:  # float sources (e.g. synthetic data)
+            img = (np.clip(_to_float(img), 0, 1) * 255.0 + 0.5).astype(
+                np.uint8
+            )
         img = random_resized_crop(img, self.imsize, rng)
         if rng.random() < 0.5:
             img = img[:, ::-1]
         if rng.random() < self.jitter_p:
-            img = color_jitter(img, rng)
+            img = color_jitter(img, rng)  # float 0-1 out
+            if self.raw_uint8:
+                img = (img * 255.0 + 0.5).astype(np.uint8)
+        if self.raw_uint8:
+            return np.ascontiguousarray(img)
         img = normalize(img)
         if self.bgr:
             img = rgb_to_bgr(img)
@@ -205,19 +229,42 @@ class TrainTransform:
 
 class EvalTransform:
     """Reference val stack: resize(8/7 * imsize, bicubic) + center crop
-    (configdataset.py:426-432)."""
+    (configdataset.py:426-432).
 
-    def __init__(self, imsize: int = 512, bgr: bool = False):
+    ``raw_uint8``: as in :class:`TrainTransform` — uint8 out, with
+    ``(x/255 - mean)/std`` fused into the device step (the reference's
+    PIL bicubic resize operates in uint8 too).
+    """
+
+    def __init__(self, imsize: int = 512, bgr: bool = False,
+                 raw_uint8: bool = False):
+        if raw_uint8 and bgr:
+            raise ValueError(
+                "raw_uint8 stages normalization on-device with RGB stats; "
+                "the BGR (Caffe) path needs host normalization"
+            )
         self.imsize = imsize
         self.bgr = bgr
+        self.raw_uint8 = raw_uint8
 
     def __call__(self, img: np.ndarray, index: int = 0) -> np.ndarray:
-        img = _to_float(img)
+        if self.raw_uint8:
+            if img.dtype != np.uint8:
+                img = (np.clip(_to_float(img), 0, 1) * 255.0 + 0.5).astype(
+                    np.uint8
+                )
+        else:
+            img = _to_float(img)
         target = int(self.imsize * 8 / 7)
         h, w = img.shape[:2]
         s = target / min(h, w)
         img = _cv2_resize(img, int(round(h * s)), int(round(w * s)), "bicubic")
         img = center_crop(img, self.imsize)
+        if self.raw_uint8:
+            return np.ascontiguousarray(img)
+        # bicubic overshoots; PIL (the reference's resize, uint8) saturates.
+        # Clamp so the float path matches the uint8/PIL semantics.
+        img = np.clip(img, 0.0, 1.0)
         img = normalize(img)
         if self.bgr:
             img = rgb_to_bgr(img)

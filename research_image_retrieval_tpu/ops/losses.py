@@ -185,7 +185,13 @@ def madacos_loss(
 
 
 def topk_errors(logits: jnp.ndarray, labels: jnp.ndarray, ks=(1, 5)):
-    """Top-k error percentages (reference: spca_train.py:21-35)."""
+    """Top-k error percentages (reference: spca_train.py:21-35).
+
+    k is clamped to the class count so debug heads with fewer than
+    max(ks) classes still report (top-C error, i.e. 0 when the label
+    space is exhausted) instead of crashing.
+    """
+    ks = tuple(min(k, logits.shape[-1]) for k in ks)
     max_k = max(ks)
     _, top_idx = jax.lax.top_k(logits, max_k)  # [B, max_k]
     correct = top_idx == labels[:, None]

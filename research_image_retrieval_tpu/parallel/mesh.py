@@ -56,26 +56,44 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def classifier_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard a [num_classes, D] classifier weight over classes.
+def _classifier_axis(mesh: Mesh) -> str:
+    return "model" if mesh.shape["model"] > 1 else "data"
 
-    Uses the model axis when present (>1), otherwise the data axis —
-    either way the 81313-way weight and its [B, C] logits never fully
-    materialize on one chip.
+
+def classifier_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard a [num_classes, D] classifier weight over the FEATURE dim.
+
+    The GLDv2 head is 81313 x 2048 (~0.67 GB fp32): sharding it — and,
+    via placement propagation, its gradient and optimizer moments —
+    column-wise keeps it off any single chip.  The feature dim is the
+    shardable one because explicit JAX shardings require even
+    divisibility: D (512/1024/2048 across the zoo) divides every
+    practical axis size, while the class count (81313) divides none —
+    a class-dim P(axis, None) spec raises at ``device_put`` for the real
+    GLDv2 head.  Logits stay batch-sharded either way; under GSPMD the
+    D-partial dot products psum automatically.
+
+    Uses the model axis when present (>1), otherwise the data axis.
     """
-    axis = "model" if mesh.shape["model"] > 1 else "data"
-    return NamedSharding(mesh, P(axis, None))
+    return NamedSharding(mesh, P(None, _classifier_axis(mesh)))
 
 
 def shard_train_state_rules(mesh: Mesh, classifier_key: str = "classifier_w"):
     """Pytree-path -> sharding rule for train state: classifier weight
-    sharded, everything else replicated."""
+    sharded, everything else replicated.
+
+    Falls back to replicated when the feature dim does not divide the
+    axis (tiny debug heads) — sharding is an optimization, never a
+    constraint on the model.
+    """
     cls_s = classifier_sharding(mesh)
     rep = replicated(mesh)
+    n = mesh.shape[_classifier_axis(mesh)]
 
     def rule(path, leaf) -> NamedSharding:
         names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        if classifier_key in names and getattr(leaf, "ndim", 0) >= 2:
+        if (classifier_key in names and getattr(leaf, "ndim", 0) >= 2
+                and leaf.shape[-1] % n == 0):
             return cls_s
         return rep
 

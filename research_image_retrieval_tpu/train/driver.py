@@ -62,6 +62,7 @@ def build_datasets(cfg: TrainConfig):
     loads through the mmap reader with a seeded per-class train/val split
     mirroring ``random_select`` (reference configdataset.py:366-388).
     """
+    raw = bool(getattr(cfg, "raw_input", True))
     if cfg.data_root and cfg.data_root.endswith(".rirrec"):
         from research_image_retrieval_tpu.data import RecordDataset, RecordReader
 
@@ -78,11 +79,12 @@ def build_datasets(cfg: TrainConfig):
         val_mask[np.asarray(val_idx, int)] = True
         train = RecordDataset(
             cfg.data_root, indices=np.flatnonzero(~val_mask),
-            transform=TrainTransform(cfg.imsize, seed=cfg.seed),
+            transform=TrainTransform(cfg.imsize, seed=cfg.seed,
+                                     raw_uint8=raw),
         )
         val = RecordDataset(
             cfg.data_root, indices=np.flatnonzero(val_mask),
-            transform=EvalTransform(cfg.imsize),
+            transform=EvalTransform(cfg.imsize, raw_uint8=raw),
         )
         return train, val, n_cls
     if cfg.data_root and cfg.csv_path:
@@ -91,8 +93,9 @@ def build_datasets(cfg: TrainConfig):
             cfg.csv_path,
             val_per_class=cfg.val_per_class,
             seed=cfg.seed,
-            train_transform=TrainTransform(cfg.imsize, seed=cfg.seed),
-            val_transform=EvalTransform(cfg.imsize),
+            train_transform=TrainTransform(cfg.imsize, seed=cfg.seed,
+                                           raw_uint8=raw),
+            val_transform=EvalTransform(cfg.imsize, raw_uint8=raw),
         )
     # synthetic fallback: deterministic procedural classes
     n_cls = 16
@@ -239,6 +242,23 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     sample_imgs, sample_labels = next(iter(train_it.epoch_batches()))
     train_it.epoch, train_it.step = 0, 0  # rewind the probe batch
 
+    # RAW uint8 batches (TrainTransform(raw_uint8=True), the default for
+    # real datasets): ship uint8 and fuse (x/255 - mean)/std into the
+    # jitted steps — 4x fewer H2D bytes, no host float math.  Detected
+    # from the probe batch so any uint8-yielding dataset gets it.
+    input_norm = None
+    if np.asarray(sample_imgs).dtype == np.uint8:
+        from research_image_retrieval_tpu.data.transforms import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        input_norm = (IMAGENET_MEAN, IMAGENET_STD)
+        print(">> raw uint8 input: normalization fused into the train step")
+        sample_imgs = (
+            np.asarray(sample_imgs, np.float32) / 255.0 - IMAGENET_MEAN
+        ) / IMAGENET_STD  # init traces with normalized floats
+
     def fresh_state(tx_):
         return create_train_state(
             model, jax.random.PRNGKey(cfg.seed), jnp.asarray(sample_imgs),
@@ -300,8 +320,9 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
         print(f">> resumed from checkpoint {ep} (optimizer phase '{phase}') "
               f"at loop epoch {start_epoch}, data step {train_it.step}")
 
-    train_step = make_train_step(model, tx, mesh=mesh, donate=False)
-    eval_step = make_eval_step(model, mesh=mesh)
+    train_step = make_train_step(model, tx, mesh=mesh, donate=False,
+                                 input_norm=input_norm)
+    eval_step = make_eval_step(model, mesh=mesh, input_norm=input_norm)
 
     history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
     switched = phase == "main"
@@ -316,7 +337,8 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
         ):
             tx = build_optimizer(cfg, ipe, "main")
             state = state.replace(opt_state=tx.init(state.params), step=state.step * 0)
-            train_step = make_train_step(model, tx, mesh=mesh, donate=False)
+            train_step = make_train_step(model, tx, mesh=mesh, donate=False,
+                                         input_norm=input_norm)
             switched = True
             print(f">> optimizer hand-off to SGD at epoch {epoch}")
 

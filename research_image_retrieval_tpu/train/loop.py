@@ -15,6 +15,7 @@ from typing import Any, Callable
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from research_image_retrieval_tpu.ops import topk_errors
@@ -72,17 +73,40 @@ def create_train_state(
     return state
 
 
+def _input_prep(input_norm):
+    """Identity, or the fused RAW-uint8 input stage.
+
+    With ``input_norm=(mean, std)`` (0-1 scale) the step takes RAW uint8
+    batches and computes ``(x/255 - mean)/std`` INSIDE the jitted program:
+    4x fewer host->device bytes and no host float math (the reference
+    normalizes on the host inside ToTensor+Normalize,
+    configdataset.py:421-424).  Matches host normalization of the same
+    uint8 pixels to fp32 round-off (~1 ULP: XLA compiles the divisions
+    as multiply-by-reciprocal); tests/test_raw_train_input.py pins both
+    the prep and the resulting step updates.
+    """
+    if input_norm is None:
+        return lambda images: images
+    mean = jnp.asarray(np.asarray(input_norm[0], np.float32))
+    std = jnp.asarray(np.asarray(input_norm[1], np.float32))
+    return lambda images: (images.astype(jnp.float32) / 255.0 - mean) / std
+
+
 def make_train_step(
     model,
     optimizer: optax.GradientTransformation,
     mesh=None,
     donate: bool = True,
+    input_norm=None,
 ) -> Callable:
     """Build the jitted train step: (state, images, labels) -> (state, metrics).
 
     With a mesh, the batch is sharded over the 'data' axis and the state
     follows its placement shardings; XLA inserts the gradient all-reduce.
+    ``input_norm=(mean, std)`` fuses RAW-uint8 input normalization into
+    the step (see ``_input_prep``).
     """
+    prep = _input_prep(input_norm)
 
     def loss_fn(params, batch_stats, model_state, images, labels, dropout_rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -97,6 +121,7 @@ def make_train_step(
                       mutated.get("model_state", None))
 
     def step_fn(state: TrainState, images, labels):
+        images = prep(images)
         rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
         new_rng, dropout_rng = jax.random.split(rng)
         (loss, (logits, new_stats, new_model_state)), grads = (
@@ -139,10 +164,12 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, mesh=None) -> Callable:
+def make_eval_step(model, mesh=None, input_norm=None) -> Callable:
     """Jitted validation step: (state, images, labels) -> metrics."""
+    prep = _input_prep(input_norm)
 
     def step_fn(state: TrainState, images, labels):
+        images = prep(images)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if state.model_state:
             variables["model_state"] = state.model_state

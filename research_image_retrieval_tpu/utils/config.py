@@ -29,6 +29,12 @@ class TrainConfig:
     num_workers: int = 8
     seed: int = 11
     val_per_class: int = 1
+    # ship RAW uint8 batches and fuse (x/255 - mean)/std into the jitted
+    # train/eval steps (4x fewer H2D bytes; the reference normalizes on
+    # the host, configdataset.py:421-424).  Augmentation then runs in
+    # uint8 space like the reference's PIL stack.  Disable for the BGR
+    # (Caffe) path or to reproduce the float host pipeline exactly.
+    raw_input: bool = True
 
     # optimization (reference defaults: spca_train/config)
     optimizer: str = "sgd"  # or "adamw", "adamw_then_sgd" (ULTRON)
