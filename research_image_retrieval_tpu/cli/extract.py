@@ -106,12 +106,32 @@ def main(argv=None):
                                raw_uint8=dev, fast_decode=args.fast_decode)
     elif args.records:
         from research_image_retrieval_tpu.data import RecordDataset
+        from research_image_retrieval_tpu.data.transforms import (
+            imthumbnail,
+            normalize,
+        )
 
-        ds = RecordDataset(args.records, max_side=args.imsize)
+        # records decode to RGB uint8 (records.py RecordDataset._decode);
+        # max_side only PRESCALES (1/2^k), so the exact thumbnail resize
+        # still applies here, mirroring ImageFromList
+        ds = RecordDataset(
+            args.records,
+            max_side=args.imsize if args.fast_decode else 0,
+        )
         labels = ds.labels()
         names = [str(i) for i in range(len(ds))]
-        loader = [ds[i][0] for i in range(len(ds))]
-        dev, norm = False, None  # records yield pre-normalized floats
+
+        def _record_images():
+            for i in range(len(ds)):
+                img = ds[i][0]
+                if args.imsize:
+                    img = imthumbnail(img, args.imsize)
+                if dev:
+                    yield np.ascontiguousarray(img, np.uint8)
+                else:  # host path: normalized floats like ImageFromList
+                    yield normalize(np.asarray(img, np.float32) / 255.0)
+
+        loader = _record_images()
     else:
         from research_image_retrieval_tpu.data.revisited import RevisitedDataset
 
@@ -123,11 +143,13 @@ def main(argv=None):
                 imsize=args.imsize or None,
                 bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
                 raw_uint8=dev,
+                fast_decode=args.fast_decode,
             )
         else:
             names = list(ds.imlist)
             loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None,
-                                   raw_uint8=dev)
+                                   raw_uint8=dev,
+                                   fast_decode=args.fast_decode)
 
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
                            batch_size=args.batch_size, print_freq=100,

@@ -64,7 +64,8 @@ class ImageFromList:
       raw_uint8: yield RAW uint8 after crop/thumbnail (no /255, no
         normalization) — for ``extract_vectors(input_norm=...)``, which
         normalizes inside the device programs and transfers 4x fewer
-        host->device bytes.
+        host->device bytes.  Mutually exclusive with ``bgr`` (the fused
+        stage uses RGB ImageNet stats).
       fast_decode: decode JPEGs with native DCT-domain prescaling to the
         smallest 1/2^k scale still >= ``imsize`` before the exact
         thumbnail resize.  Skips most decode work for sources much
@@ -85,6 +86,11 @@ class ImageFromList:
         raw_uint8: bool = False,
         fast_decode: bool = False,
     ):
+        if raw_uint8 and bgr:
+            raise ValueError(
+                "raw_uint8 stages normalization on-device with RGB stats; "
+                "the BGR (Caffe) path needs host normalization"
+            )
         self.paths = list(paths)
         self.imsize = imsize
         self.bbxs = list(bbxs) if bbxs is not None else None
@@ -108,9 +114,7 @@ class ImageFromList:
             img = img[y1:y2, x1:x2]
         if self.imsize is not None:
             img = imthumbnail(img, self.imsize)
-        if self.raw_uint8:
-            if self.bgr:
-                img = rgb_to_bgr(img)
+        if self.raw_uint8:  # bgr is rejected in __init__
             return np.ascontiguousarray(img, np.uint8)
         img = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
         if self.normalize_input:

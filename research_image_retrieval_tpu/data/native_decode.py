@@ -12,74 +12,40 @@ Falls back to cv2/PIL decoding when the toolchain or libjpeg is missing.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 
 import numpy as np
+
+from research_image_retrieval_tpu.data._native_build import NativeLib
 
 __all__ = ["native_available", "decode_jpeg", "decode_jpeg_batch",
            "NativeDecoder"]
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "rir_decoder.cc")
-_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
-_LIB = os.path.join(_LIB_DIR, "librir_decoder.so")
 
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
-
-
-def _build() -> bool:
-    os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = [
-        "g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC,
-        "-ljpeg", "-lpthread",
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.rir_decode_jpeg.restype = ctypes.c_int
+    lib.rir_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.c_int,
     ]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired):
-        return False
+    lib.rir_jpeg_dims.restype = ctypes.c_int
+    lib.rir_jpeg_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.rir_decode_batch.restype = None
+    lib.rir_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+    ]
 
 
-def _load():
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(_LIB)
-        lib.rir_decode_jpeg.restype = ctypes.c_int
-        lib.rir_decode_jpeg.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.c_int,
-        ]
-        lib.rir_jpeg_dims.restype = ctypes.c_int
-        lib.rir_jpeg_dims.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-        ]
-        lib.rir_decode_batch.restype = None
-        lib.rir_decode_batch.argtypes = [
-            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_size_t),
-            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
-            ctypes.c_int,
-        ]
-        _lib = lib
-        return _lib
+_native = NativeLib("rir_decoder.cc", "librir_decoder.so", _declare,
+                    extra_flags=("-ljpeg", "-lpthread"))
+_load = _native.load
 
 
 def native_available() -> bool:

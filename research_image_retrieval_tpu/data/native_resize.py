@@ -17,65 +17,25 @@ keep the numpy implementation.
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
-import threading
 
 import numpy as np
 
+from research_image_retrieval_tpu.data._native_build import NativeLib
+
 __all__ = ["native_available", "resize_bilinear_native"]
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "rir_resize.cc")
-_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
-_LIB = os.path.join(_LIB_DIR, "librir_resize.so")
 
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.rir_resize_bilinear.restype = ctypes.c_int
+    lib.rir_resize_bilinear.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+    ]
 
 
-def _build() -> bool:
-    os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-o", _LIB,
-           _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired):
-        # retry without -march=native (portable fallback)
-        try:
-            subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-o", _LIB,
-                            _SRC], check=True, capture_output=True,
-                           timeout=120)
-            return True
-        except (subprocess.CalledProcessError, FileNotFoundError,
-                subprocess.TimeoutExpired):
-            return False
-
-
-def _load():
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(_LIB)
-        lib.rir_resize_bilinear.restype = ctypes.c_int
-        lib.rir_resize_bilinear.argtypes = [
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ]
-        _lib = lib
-        return _lib
+_native = NativeLib("rir_resize.cc", "librir_resize.so", _declare,
+                    try_march_native=True)
+_load = _native.load
 
 
 def native_available() -> bool:

@@ -24,11 +24,11 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
-import threading
 from typing import Iterable, Iterator
 
 import numpy as np
+
+from research_image_retrieval_tpu.data._native_build import NativeLib
 
 __all__ = [
     "write_records",
@@ -41,64 +41,33 @@ __all__ = [
 _MAGIC = b"RIRREC01"
 _ENTRY = struct.Struct("<QQq")  # offset, length, label
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "native", "rir_records.cc")
-_LIB_DIR = os.path.join(_REPO_ROOT, "native", "build")
-_LIB = os.path.join(_LIB_DIR, "librir_records.so")
 
-_lock = threading.Lock()
-_lib = None
-_build_failed = False
+def _declare(lib: ctypes.CDLL) -> None:
+    lib.rir_records_open.restype = ctypes.c_void_p
+    lib.rir_records_open.argtypes = [ctypes.c_char_p]
+    lib.rir_records_count.restype = ctypes.c_int64
+    lib.rir_records_count.argtypes = [ctypes.c_void_p]
+    lib.rir_records_get.restype = ctypes.c_int
+    lib.rir_records_get.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rir_records_labels.restype = ctypes.c_int
+    lib.rir_records_labels.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.rir_records_prefetch.restype = ctypes.c_int
+    lib.rir_records_prefetch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+    ]
+    lib.rir_records_close.restype = None
+    lib.rir_records_close.argtypes = [ctypes.c_void_p]
 
 
-def _build() -> bool:
-    os.makedirs(_LIB_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-o", _LIB, _SRC]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except (subprocess.CalledProcessError, FileNotFoundError,
-            subprocess.TimeoutExpired):
-        return False
-
-
-def _load():
-    global _lib, _build_failed
-    with _lock:
-        if _lib is not None or _build_failed:
-            return _lib
-        if not os.path.exists(_LIB) or (
-            os.path.exists(_SRC)
-            and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
-        ):
-            if not _build():
-                _build_failed = True
-                return None
-        lib = ctypes.CDLL(_LIB)
-        lib.rir_records_open.restype = ctypes.c_void_p
-        lib.rir_records_open.argtypes = [ctypes.c_char_p]
-        lib.rir_records_count.restype = ctypes.c_int64
-        lib.rir_records_count.argtypes = [ctypes.c_void_p]
-        lib.rir_records_get.restype = ctypes.c_int
-        lib.rir_records_get.argtypes = [
-            ctypes.c_void_p, ctypes.c_int64,
-            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.POINTER(ctypes.c_int64),
-        ]
-        lib.rir_records_labels.restype = ctypes.c_int
-        lib.rir_records_labels.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ]
-        lib.rir_records_prefetch.restype = ctypes.c_int
-        lib.rir_records_prefetch.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-        ]
-        lib.rir_records_close.restype = None
-        lib.rir_records_close.argtypes = [ctypes.c_void_p]
-        _lib = lib
-        return _lib
+_native = NativeLib("rir_records.cc", "librir_records.so", _declare)
+_load = _native.load
 
 
 def records_native_available() -> bool:

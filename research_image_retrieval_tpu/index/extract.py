@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from research_image_retrieval_tpu.ops import l2_normalize
+from research_image_retrieval_tpu.ops import fused_input_norm, l2_normalize
 
 __all__ = [
     "multiscale_descriptor",
@@ -391,22 +391,25 @@ class _DeviceScaleStream(_BucketStream):
     ``(x/255 - mean)/std`` into the device programs.  Normalization is
     affine and the resize weights sum to 1 per output sample, so
     device-side normalize-after-resize equals the host's
-    normalize-then-resize to float rounding.  Single-scale ``(1.0,)`` is
-    supported in this mode: the reference's <36px UPSCALE guard routes
-    tiny rows through the resize program with upscale taps.
+    normalize-then-resize to float rounding: convnets agree to ~1e-5;
+    LayerNorm-based patch models (ViT/CLIP-ViT) amplify the ~1-ULP
+    commute difference up to ~1e-3 in descriptor coordinates on
+    random-init weights — descriptor COSINES still agree to 1e-6, i.e.
+    rankings are unaffected (tests/test_device_scales.py pins both).
+    Single-scale ``(1.0,)`` is supported in this mode: the reference's
+    <36px UPSCALE guard routes tiny rows through the resize program with
+    upscale taps.
     """
 
     def __init__(self, extract_fn, bucket: int, batch_size: int, scales,
                  extent_multiple: int = 1, mesh=None, pipeline_depth: int = 2,
                  input_norm=None):
         if input_norm is not None:
-            mean = jnp.asarray(np.asarray(input_norm[0], np.float32))
-            std = jnp.asarray(np.asarray(input_norm[1], np.float32))
-            base_fn = extract_fn
+            prep = fused_input_norm(input_norm)  # ops/norm.py — the ONE
+            base_fn = extract_fn                 # fused-stage definition
 
             def extract_fn(x, valid_hw):  # noqa: F811 — normalized wrapper
-                x = (x.astype(jnp.float32) / 255.0 - mean) / std
-                return base_fn(x, valid_hw)
+                return base_fn(prep(x), valid_hw)
 
         super().__init__(extract_fn, bucket, batch_size, mesh=mesh,
                          pipeline_depth=pipeline_depth)
@@ -572,7 +575,20 @@ def extract_vectors(
             extent_multiple=extent_multiple, mesh=mesh,
             pipeline_depth=pipeline_depth, input_norm=input_norm,
         )
-        expand = lambda i, img: [(i, img)]  # scales resolve on device
+
+        def expand(i, img):  # scales resolve on device — but fail FAST
+            # here (like the host path's _scale_tasks) when every scale
+            # would be skipped, instead of after the whole extraction
+            H, W = img.shape[:2]
+            if multi and all(
+                math.floor(H * s) < _MIN_SIDE or math.floor(W * s) < _MIN_SIDE
+                for s in scales
+            ):
+                raise ValueError(
+                    f"All scales {scales} shrink image {i} ({H}x{W}) "
+                    f"below {_MIN_SIDE}px"
+                )
+            return [(i, img)]
     else:
         stream = _BucketStream(extract_fn, bucket, batch_size, mesh=mesh,
                                pipeline_depth=pipeline_depth)

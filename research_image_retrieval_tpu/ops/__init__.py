@@ -10,7 +10,7 @@ from research_image_retrieval_tpu.ops.pooling import (
     avg_pool_all,
     max_pool_all,
 )
-from research_image_retrieval_tpu.ops.norm import l2_normalize
+from research_image_retrieval_tpu.ops.norm import fused_input_norm, l2_normalize
 from research_image_retrieval_tpu.ops.masking import (
     ceil_half,
     downsample_extents,
@@ -46,6 +46,7 @@ __all__ = [
     "spoc_pool",
     "avg_pool_all",
     "max_pool_all",
+    "fused_input_norm",
     "l2_normalize",
     "ceil_half",
     "downsample_extents",

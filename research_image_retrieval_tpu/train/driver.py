@@ -253,11 +253,15 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             IMAGENET_STD,
         )
 
+        from research_image_retrieval_tpu.ops import fused_input_norm
+
         input_norm = (IMAGENET_MEAN, IMAGENET_STD)
         print(">> raw uint8 input: normalization fused into the train step")
-        sample_imgs = (
-            np.asarray(sample_imgs, np.float32) / 255.0 - IMAGENET_MEAN
-        ) / IMAGENET_STD  # init traces with normalized floats
+        # init traces with normalized floats, through the SAME fused
+        # stage the steps compile (ops/norm.py — no drift)
+        sample_imgs = np.asarray(
+            fused_input_norm(input_norm)(jnp.asarray(sample_imgs))
+        )
 
     def fresh_state(tx_):
         return create_train_state(

@@ -15,10 +15,9 @@ from typing import Any, Callable
 import flax.struct
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from research_image_retrieval_tpu.ops import topk_errors
+from research_image_retrieval_tpu.ops import fused_input_norm, topk_errors
 from research_image_retrieval_tpu.parallel.mesh import (
     data_sharding,
     replicated,
@@ -73,23 +72,13 @@ def create_train_state(
     return state
 
 
-def _input_prep(input_norm):
-    """Identity, or the fused RAW-uint8 input stage.
-
-    With ``input_norm=(mean, std)`` (0-1 scale) the step takes RAW uint8
-    batches and computes ``(x/255 - mean)/std`` INSIDE the jitted program:
-    4x fewer host->device bytes and no host float math (the reference
-    normalizes on the host inside ToTensor+Normalize,
-    configdataset.py:421-424).  Matches host normalization of the same
-    uint8 pixels to fp32 round-off (~1 ULP: XLA compiles the divisions
-    as multiply-by-reciprocal); tests/test_raw_train_input.py pins both
-    the prep and the resulting step updates.
-    """
-    if input_norm is None:
-        return lambda images: images
-    mean = jnp.asarray(np.asarray(input_norm[0], np.float32))
-    std = jnp.asarray(np.asarray(input_norm[1], np.float32))
-    return lambda images: (images.astype(jnp.float32) / 255.0 - mean) / std
+# the fused RAW-uint8 input stage (shared with index/extract.py and the
+# driver's probe — one definition, ops/norm.py): the step then takes
+# uint8 batches and computes (x/255 - mean)/std inside the jitted
+# program (the reference normalizes on the host inside
+# ToTensor+Normalize, configdataset.py:421-424);
+# tests/test_raw_train_input.py pins prep and step-update equivalence
+_input_prep = fused_input_norm
 
 
 def make_train_step(

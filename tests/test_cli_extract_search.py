@@ -52,6 +52,43 @@ def test_extract_then_search(tmp_path, rng):
         assert r["matches"][0]["score"] > 0.999
 
 
+def test_records_extract_is_normalized(tmp_path, rng):
+    """Regression: --records must feed ImageNet-NORMALIZED pixels to the
+    model (an early version fed raw 0-255 uint8 straight through,
+    silently producing garbage descriptors for the whole index)."""
+    from research_image_retrieval_tpu.data.native_decode import decode_jpeg
+    from research_image_retrieval_tpu.data.transforms import normalize
+    from research_image_retrieval_tpu.evaluation.driver import (
+        _load_model,
+        _make_extract_fn,
+    )
+    from research_image_retrieval_tpu.index import extract_vectors
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    jpegs = [_jpeg(rng, 48, 40) for _ in range(3)]
+    rec = tmp_path / "g.rirrec"
+    write_records(str(rec), [(j, 0) for j in jpegs])
+
+    out = tmp_path / "r.npz"
+    rc = extract_main([
+        "--model", "gem_r50", "--records", str(rec), "--imsize", "0",
+        "--output", str(out), "--batch-size", "2",
+    ])
+    assert rc == 0
+    vecs = np.load(out)["vecs"]
+
+    # reference: the SAME decoded pixels, host-normalized, through the
+    # library path with the same (seeded) model weights
+    cfg = EvalConfig(model="gem_r50", checkpoint=None, imsize=0)
+    model, variables = _load_model(cfg)
+    extract, bucket, multiple = _make_extract_fn(model, variables)
+    imgs = [normalize(decode_jpeg(j).astype(np.float32) / 255.0)
+            for j in jpegs]
+    ref = extract_vectors(extract, imgs, bucket=bucket,
+                          extent_multiple=multiple, batch_size=2)
+    np.testing.assert_allclose(vecs, np.asarray(ref), atol=1e-4)
+
+
 def test_extract_quantized_index_then_search(tmp_path, rng):
     """rir-extract --quantize-int8 writes vecs_int8+scales; rir-search
     auto-detects it (int8 engine), and dequantizes for other engines."""

@@ -147,6 +147,48 @@ def test_uint8_single_scale_upscale_guard(rng):
     np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
 
 
+def test_uint8_input_norm_patch_model(rng):
+    """RAW uint8 fused normalization on a PATCH model (ViT).
+
+    The device path resizes uint8 then normalizes; the host path
+    normalizes then resizes.  The two orders are equal in exact
+    arithmetic (affine map, resize weights sum to 1) but differ by
+    ~1 ULP in fp32, and LayerNorm-based models AMPLIFY that far beyond
+    the convnets' 1e-5 agreement — measured up to ~1e-3 on random-init
+    weights.  Pin (a) descriptor cosine ~1 (the retrieval-relevant
+    invariant — both paths rank identically) and (b) the amplified
+    absolute deviation stays under 5e-3, well below the uint8
+    quantization noise already present in the input."""
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+
+    model = get_model("vit_s16", variant="test", outputdim=32, img_size=64,
+                      num_classes=4)
+    im = rng.standard_normal((1, 96, 96, 3)).astype(np.float32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(im),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+    multiple = model.extent_multiple
+    masked = lambda x, v: model.apply(variables, x, v, method="extract")
+    u8 = [(rng.random((h, w, 3)) * 255).astype(np.uint8)
+          for h, w in [(70, 91), (90, 62), (64, 64)]]
+    host_imgs = [_norm(im) for im in u8]
+    scales = (1.0, 2 ** -0.5)
+
+    host = extract_vectors(masked, host_imgs, scales=scales, bucket=32,
+                           batch_size=2, extent_multiple=multiple)
+    dev = extract_vectors(masked, u8, scales=scales, bucket=32,
+                          batch_size=2, extent_multiple=multiple,
+                          device_scales=True,
+                          input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+    cos = np.sum(dev * host, axis=1)  # both L2-normalized
+    assert cos.min() > 1 - 1e-6, cos
+    np.testing.assert_allclose(dev, host, atol=5e-3)
+
+
 def test_input_norm_misuse_raises(rng):
     model, variables = _gem(rng)
     masked = lambda x, v: model.apply(variables, x, v, method="extract")
