@@ -40,6 +40,11 @@ from research_image_retrieval_tpu.ops.gem_pallas import (
     pallas_gem_whiten_l2,
     gem_whiten_l2_reference,
 )
+from research_image_retrieval_tpu.ops.resblock_pallas import (
+    fold_bn,
+    fused_bottleneck_reference,
+    pallas_fused_bottleneck,
+)
 
 __all__ = [
     "gem_pool",
@@ -67,4 +72,7 @@ __all__ = [
     "streaming_topk",
     "pallas_gem_whiten_l2",
     "gem_whiten_l2_reference",
+    "fold_bn",
+    "fused_bottleneck_reference",
+    "pallas_fused_bottleneck",
 ]
