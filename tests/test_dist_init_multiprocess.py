@@ -4,9 +4,13 @@ Executes the multi-host seam that every other distributed test only
 imports (reference seam: utils/helpfunc.py:151-171 —
 ``init_distributed_mode`` + NCCL rendezvous): two subprocesses on CPU
 rendezvous through ``init_distributed_mode`` (RANK/WORLD_SIZE env path),
-run one cross-process ``psum`` over the global 2-device mesh, and iterate
-one ``ShardedBatchIterator`` epoch with TRUE process sharding, asserting
-the shards partition the dataset exactly.
+run one cross-process ``psum`` over the global 2-device mesh, search a
+cross-process-sharded gallery (exact + int8 engines), run one
+cross-process data-parallel TRAIN STEP asserting equivalence with the
+single-device step on the same global batch (the DDP + SyncBatchNorm
+semantics, spca_train.py:138-139, across a real process boundary), and
+iterate one ``ShardedBatchIterator`` epoch with TRUE process sharding,
+asserting the shards partition the dataset exactly.
 """
 
 import os
@@ -87,6 +91,77 @@ for engine, ref in refs.items():
     assert (got == ref).all(), (engine, got, ref)
 print(f"RANK{rank}_SEARCH_OK", flush=True)
 
+# cross-PROCESS data-parallel TRAIN STEP (the reference's DDP +
+# SyncBatchNorm seam, spca_train.py:138-139, across a REAL process
+# boundary): each process contributes half the global batch; the GSPMD
+# step must reproduce the single-device step on the same global batch
+# (grads globally averaged, BN statistics over the GLOBAL batch).
+# tests/test_multichip_equivalence.py proves this on a virtual 8-device
+# mesh inside ONE process; this is the multi-host (DCN) analogue.
+import optax
+from research_image_retrieval_tpu.models import get_model
+from research_image_retrieval_tpu.parallel import replicated
+from research_image_retrieval_tpu.train import (
+    create_train_state,
+    make_sgd_optimizer,
+    make_train_step,
+    warmup_cosine_schedule,
+)
+
+model = get_model("gem_r50", backbone_name="resnet18", outputdim=32,
+                  num_classes=32)
+sched = warmup_cosine_schedule(1, 1e-3, 4, 0.1, 1e-2, iter_per_epoch=10)
+tx = make_sgd_optimizer(sched, momentum=0.9, weight_decay=1e-4,
+                        clip_max_norm=1.0)
+trng = np.random.default_rng(7)  # same seed => same GLOBAL batch everywhere
+images = trng.standard_normal((8, 24, 24, 3)).astype(np.float32)
+labels = trng.integers(0, 32, 8).astype(np.int32)
+
+tmesh = Mesh(np.asarray(jax.devices()).reshape(2, 1), ("data", "model"))
+key = jax.random.PRNGKey(0)
+state_m = create_train_state(model, key, images[:1], labels[:1], tx,
+                             mesh=tmesh)
+step_m = make_train_step(model, tx, mesh=tmesh, donate=False)
+dsh = jax.NamedSharding(tmesh, P("data"))
+gimg = jax.make_array_from_process_local_data(
+    dsh, images[rank * 4:(rank + 1) * 4], images.shape)
+glab = jax.make_array_from_process_local_data(
+    dsh, labels[rank * 4:(rank + 1) * 4], labels.shape)
+state_m, metrics_m = step_m(state_m, gimg, glab)
+
+# single-device reference on the same GLOBAL batch, computed locally in
+# each process (the classifier weight is mesh-sharded and not fully
+# addressable, so state-wide comparisons go through jitted GLOBAL scalars)
+state_s = create_train_state(model, key, images[:1], labels[:1], tx)
+step_s = make_train_step(model, tx, donate=False)
+state_s, metrics_s = step_s(state_s, images, labels)
+
+norm_m = jax.jit(
+    lambda s: optax.global_norm((s.params, s.batch_stats)),
+    out_shardings=replicated(tmesh),
+)(state_m)
+norm_s = jax.jit(lambda s: optax.global_norm((s.params, s.batch_stats)))(
+    state_s)
+# grad_norm is a sum over every squared grad element — the one metric
+# whose fp32 reduction ORDER differs between the GSPMD and single-device
+# programs, so it gets a relative tolerance (measured ~3e-4 rel on CPU);
+# loss and the post-update state norm stay absolute.
+dev = {
+    "loss": abs(float(metrics_m["loss"]) - float(metrics_s["loss"])),
+    "grad_norm": abs(float(metrics_m["grad_norm"])
+                     - float(metrics_s["grad_norm"]))
+    / max(1.0, abs(float(metrics_s["grad_norm"]))),
+    "state_norm": abs(float(norm_m) - float(norm_s)),
+}
+tol = {"loss": 1e-4, "grad_norm": 2e-3, "state_norm": 1e-4}
+for name, d in dev.items():
+    assert d < tol[name], (name, d, dev)
+# BN batch statistics are replicated (readable) — the SyncBN claim proper
+for pa, pb in zip(jax.tree.leaves(state_m.batch_stats),
+                  jax.tree.leaves(state_s.batch_stats)):
+    assert np.max(np.abs(np.asarray(pa) - np.asarray(pb))) < 1e-4
+print(f"RANK{rank}_TRAIN_OK dev={dev}", flush=True)
+
 # ShardedBatchIterator with true process sharding (defaults read the
 # jax process topology)
 from research_image_retrieval_tpu.data import ShardedBatchIterator
@@ -139,7 +214,7 @@ def test_two_process_bootstrap(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
     finally:
         for p in procs:  # never leave orphaned workers burning the core
@@ -150,6 +225,7 @@ def test_two_process_bootstrap(tmp_path):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert f"RANK{rank}_PSUM_OK" in out, out
         assert f"RANK{rank}_SEARCH_OK" in out, out
+        assert f"RANK{rank}_TRAIN_OK" in out, out
 
     # the two shards must partition [0, 16) exactly: rank r takes the
     # strided slice starting at r (see ShardedBatchIterator)
