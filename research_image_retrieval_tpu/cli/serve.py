@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="score the exact engine at Precision.HIGHEST")
     p.add_argument("--selection", choices=("exact", "approx"),
                    default="exact", help="int8 engine selector")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the gallery row-wise over ALL local devices "
+                        "(ICI-sharded serving: per-shard streams + [Q, k] "
+                        "candidate merge; engines exact/int8)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling all query buckets at startup")
     p.add_argument("--verbose", action="store_true",
@@ -77,6 +81,12 @@ def main(argv=None):
         make_http_server,
     )
 
+    mesh = None
+    if args.sharded:
+        from research_image_retrieval_tpu.parallel import default_search_mesh
+
+        mesh = default_search_mesh()
+        print(f"sharding the gallery over {mesh.shape['data']} devices")
     service = SearchService.from_npz(
         args.gallery,
         engine=args.engine,
@@ -86,6 +96,7 @@ def main(argv=None):
         store_dtype=args.store_dtype,
         exact_fp32_scores=args.exact_fp32_scores,
         selection=args.selection,
+        mesh=mesh,
     )
     extractor = None
     if args.model:

@@ -13,6 +13,9 @@ from research_image_retrieval_tpu.parallel.mesh import (
     shard_train_state_rules,
 )
 from research_image_retrieval_tpu.parallel.dist_search import (
+    default_search_mesh,
+    make_sharded_stream_fn,
+    place_sharded_gallery,
     sharded_search_topk,
     sharded_streaming_topk,
 )
@@ -35,4 +38,7 @@ __all__ = [
     "classifier_sharding",
     "shard_train_state_rules",
     "sharded_search_topk",
+    "default_search_mesh",
+    "make_sharded_stream_fn",
+    "place_sharded_gallery",
 ]

@@ -16,7 +16,124 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["sharded_search_topk", "sharded_streaming_topk"]
+__all__ = [
+    "sharded_search_topk",
+    "sharded_streaming_topk",
+    "make_sharded_stream_fn",
+    "place_sharded_gallery",
+    "default_search_mesh",
+]
+
+
+def default_search_mesh() -> Mesh:
+    """All local devices on one 'data' axis (the serving layout)."""
+    devs = jax.devices()
+    return Mesh(
+        __import__("numpy").asarray(devs).reshape(len(devs), 1),
+        axis_names=("data", "model"),
+    )
+
+
+def place_sharded_gallery(gallery, mesh: Mesh, axis: str = "data",
+                          g_scales=None):
+    """Pad + device_put a gallery row-sharded over ``axis`` of ``mesh``.
+
+    Host-side zero-pads ``gallery`` (and ``g_scales``) to a multiple of
+    the axis size, then places them with a row-sharded NamedSharding —
+    the one-time HBM residency step for a serving daemon (per-call
+    transfer would re-ship the index on every request).
+
+    Returns ``(gallery_dev, scales_dev, n_valid)`` where ``n_valid`` is
+    the original row count (pad rows are masked by the stream engines).
+    ``scales_dev`` is an all-zero placeholder when ``g_scales`` is None
+    (the exact engine ignores it).
+    """
+    import numpy as np
+
+    n_shards = mesh.shape[axis]
+    gallery = np.asarray(gallery)
+    n = gallery.shape[0]
+    pad = (n_shards - n % n_shards) % n_shards
+    if pad:
+        gallery = np.pad(gallery, ((0, pad), (0, 0)))
+    if g_scales is None:
+        scales = np.zeros((gallery.shape[0],), np.float32)
+    else:
+        scales = np.pad(np.asarray(g_scales, np.float32), (0, pad))
+    g_dev = jax.device_put(gallery, NamedSharding(mesh, P(axis, None)))
+    s_dev = jax.device_put(scales, NamedSharding(mesh, P(axis)))
+    return g_dev, s_dev, n
+
+
+def make_sharded_stream_fn(
+    mesh: Mesh,
+    n_valid: int,
+    shard_n: int,
+    k: int = 100,
+    chunk: int = 65536,
+    engine: str = "exact",
+    axis: str = "data",
+    exact_fp32_scores: bool = False,
+    selection: str = "exact",
+    recall_target: float = 0.99,
+):
+    """Build ONE reusable jitted sharded-stream program.
+
+    Returns ``run(queries, gallery_sharded, scales_sharded) ->
+    (scores [Q, k], idx [Q, k])``.  Unlike ``sharded_streaming_topk``
+    (which builds + jits per call — fine for one-shot eval), the
+    returned callable keeps its jit cache across calls: the serving
+    daemon compiles once per query-batch bucket and reuses the program
+    for the life of the process.  Pass device-resident sharded arrays
+    from ``place_sharded_gallery`` so no per-call transfer happens.
+    """
+    from research_image_retrieval_tpu.ops.topk_stream import (
+        int8_streaming_topk,
+        scan_streaming_topk,
+    )
+
+    if engine not in ("exact", "int8"):
+        raise ValueError(f"engine must be 'exact' or 'int8', got {engine!r}")
+    local_chunk = min(chunk, shard_n)
+    kk = min(k, shard_n)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def local_stream_merge(q, g_shard, s_shard):
+        shard_id = jax.lax.axis_index(axis)
+        # rows of this shard with global id >= n_valid are padding — mask
+        # BEFORE the local selection so a zero pad row can't displace a
+        # real negative-similarity neighbor inside the shard
+        n_valid_local = jnp.clip(n_valid - shard_id * shard_n, 0, shard_n)
+        if engine == "int8":
+            s, i = int8_streaming_topk(
+                q, g_shard, s_shard, k=kk, chunk=local_chunk,
+                n_valid=n_valid_local, selection=selection,
+                recall_target=recall_target,
+            )
+        else:
+            s, i = scan_streaming_topk(
+                q, g_shard, k=kk, chunk=local_chunk,
+                n_valid=n_valid_local,
+                exact_fp32_scores=exact_fp32_scores,
+            )
+        gi = i + shard_id * shard_n
+        all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
+        all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
+        ms, mi = jax.lax.top_k(all_s, k)
+        return ms, jnp.take_along_axis(all_i, mi, axis=1)
+
+    @jax.jit
+    def run(q, g, s):
+        scores, idx = local_stream_merge(jnp.asarray(q, jnp.float32), g, s)
+        return scores, jnp.clip(idx, 0, n_valid - 1)
+
+    return run
 
 
 def sharded_search_topk(
@@ -112,19 +229,13 @@ def sharded_streaming_topk(
     passing a float gallery re-quantizes on every call.
     """
     from research_image_retrieval_tpu.ops.topk_stream import (
-        int8_streaming_topk,
         quantize_gallery_int8,
-        scan_streaming_topk,
     )
 
     if engine not in ("exact", "int8"):
         raise ValueError(f"engine must be 'exact' or 'int8', got {engine!r}")
     if mesh is None:
-        devs = jax.devices()
-        mesh = Mesh(
-            __import__("numpy").asarray(devs).reshape(len(devs), 1),
-            axis_names=("data", "model"),
-        )
+        mesh = default_search_mesh()
     n_shards = mesh.shape[axis]
     queries = jnp.asarray(queries, jnp.float32)
     gallery = jnp.asarray(gallery)
@@ -142,7 +253,6 @@ def sharded_streaming_topk(
         if prequantized:
             g_scales = jnp.pad(jnp.asarray(g_scales, jnp.float32), (0, pad))
     shard_n = gallery.shape[0] // n_shards
-    local_chunk = min(chunk, shard_n)
 
     if engine == "int8" and not prequantized:
         # quantization is per-row, so quantize-then-shard == shard-then-
@@ -154,34 +264,7 @@ def sharded_streaming_topk(
     else:
         g_scales = jnp.asarray(g_scales, jnp.float32)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    run = make_sharded_stream_fn(
+        mesh, N, shard_n, k=k, chunk=chunk, engine=engine, axis=axis,
     )
-    def local_stream_merge(q, g_shard, s_shard):
-        kk = min(k, shard_n)
-        shard_id = jax.lax.axis_index(axis)
-        # rows of this shard with global id >= N are padding — mask BEFORE
-        # the local selection so a zero pad row can't displace a real
-        # negative-similarity neighbor inside the shard
-        n_valid_local = jnp.clip(N - shard_id * shard_n, 0, shard_n)
-        if engine == "int8":
-            s, i = int8_streaming_topk(
-                q, g_shard, s_shard, k=kk, chunk=local_chunk,
-                n_valid=n_valid_local,
-            )
-        else:
-            s, i = scan_streaming_topk(
-                q, g_shard, k=kk, chunk=local_chunk, n_valid=n_valid_local
-            )
-        gi = i + shard_id * shard_n
-        all_s = jax.lax.all_gather(s, axis, axis=1, tiled=True)
-        all_i = jax.lax.all_gather(gi, axis, axis=1, tiled=True)
-        ms, mi = jax.lax.top_k(all_s, k)
-        return ms, jnp.take_along_axis(all_i, mi, axis=1)
-
-    scores, idx = jax.jit(local_stream_merge)(queries, gallery, g_scales)
-    return scores, jnp.clip(idx, 0, N - 1)
+    return run(queries, gallery, g_scales)

@@ -66,6 +66,15 @@ class SearchService:
         "float32" for bit-parity serving).
       exact_fp32_scores: score the exact engine at Precision.HIGHEST.
       selection: int8 engine selector ("exact" group-max or "approx").
+      mesh: optional ``jax.sharding.Mesh`` — shard the gallery row-wise
+        over ``mesh_axis`` and serve through ONE reusable shard_map
+        program per query bucket (``parallel.make_sharded_stream_fn``).
+        The index lives sharded in HBM for the life of the daemon;
+        per-shard streams merge via an all_gather of [Q, k] candidates
+        over ICI.  This is the 8-chip layout the <10 ms BASELINE budget
+        assumes (BENCH.md: ~1.7 ms/chip at N/8 shards + merge).
+        Engines: "exact" and "int8" (the approx selector composes via
+        ``selection="approx"`` on int8).
     """
 
     def __init__(
@@ -83,6 +92,8 @@ class SearchService:
         exact_fp32_scores: bool = False,
         selection: str = "exact",
         recall_target: float = 0.99,
+        mesh=None,
+        mesh_axis: str = "data",
     ):
         import jax.numpy as jnp
 
@@ -90,10 +101,17 @@ class SearchService:
             engine = "int8" if vecs_int8 is not None else "exact"
         if engine not in ("exact", "approx", "int8"):
             raise ValueError(f"unknown engine {engine!r}")
+        if mesh is not None and engine == "approx":
+            raise ValueError(
+                "the sharded service supports engine='exact' or 'int8' "
+                "(use engine='int8', selection='approx' for the fast "
+                "serving point)")
         self.engine = engine
         self.selection = selection
         self.recall_target = recall_target
         self.exact_fp32_scores = exact_fp32_scores
+        self._mesh = mesh
+        self._mesh_axis = mesh_axis
 
         if engine == "int8":
             if vecs_int8 is None:
@@ -105,19 +123,38 @@ class SearchService:
 
                 vecs_int8, scales = quantize_gallery_int8(
                     np.asarray(gallery, np.float32))
-            self._qg = jnp.asarray(vecs_int8, jnp.int8)
-            self._gscales = jnp.asarray(scales, jnp.float32)
+            n, d = np.asarray(vecs_int8).shape
+            if mesh is not None:
+                from research_image_retrieval_tpu.parallel import (
+                    place_sharded_gallery,
+                )
+
+                self._qg, self._gscales, _ = place_sharded_gallery(
+                    np.asarray(vecs_int8, np.int8), mesh, mesh_axis,
+                    g_scales=scales)
+            else:
+                self._qg = jnp.asarray(vecs_int8, jnp.int8)
+                self._gscales = jnp.asarray(scales, jnp.float32)
             self._gallery = None
-            n, d = self._qg.shape
         else:
             if gallery is None:
                 if vecs_int8 is None:
                     raise ValueError("float engines need a gallery")
                 gallery = (np.asarray(vecs_int8, np.float32)
                            * np.asarray(scales, np.float32)[:, None])
-            self._gallery = jnp.asarray(gallery, jnp.dtype(store_dtype))
-            self._qg = self._gscales = None
-            n, d = self._gallery.shape
+            n, d = np.asarray(gallery).shape
+            if mesh is not None:
+                from research_image_retrieval_tpu.parallel import (
+                    place_sharded_gallery,
+                )
+
+                self._gallery, self._gscales, _ = place_sharded_gallery(
+                    np.asarray(gallery, jnp.dtype(store_dtype)), mesh,
+                    mesh_axis)
+                self._qg = None
+            else:
+                self._gallery = jnp.asarray(gallery, jnp.dtype(store_dtype))
+                self._qg = self._gscales = None
         self.n_gallery, self.dim = int(n), int(d)
         self.names = None if names is None else np.asarray(names)
         self.k = min(int(k), self.n_gallery)
@@ -148,6 +185,29 @@ class SearchService:
         )
 
         k = self.k
+        if self._mesh is not None:
+            # ONE reusable shard_map program (jit caches per query shape,
+            # so every bucket still compiles exactly once); the sharded
+            # gallery arrays are jit ARGUMENTS — device-resident, never
+            # baked into the compiled program
+            from research_image_retrieval_tpu.parallel import (
+                make_sharded_stream_fn,
+            )
+
+            int8 = self.engine == "int8"
+            g = self._qg if int8 else self._gallery
+            s = self._gscales
+            shard_n = g.shape[0] // self._mesh.shape[self._mesh_axis]
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+            chunk = (min(max(-(-shard_n // 4), 8192), shard_n)
+                     if on_tpu else min(4096, shard_n))
+            run = make_sharded_stream_fn(
+                self._mesh, self.n_gallery, shard_n, k=k, chunk=chunk,
+                engine=self.engine, axis=self._mesh_axis,
+                exact_fp32_scores=self.exact_fp32_scores,
+                selection=self.selection, recall_target=self.recall_target,
+            )
+            return lambda q: run(q, g, s)
         if self.engine == "int8":
             qg, gs = self._qg, self._gscales
             sel, rt = self.selection, self.recall_target
@@ -307,6 +367,8 @@ class SearchService:
             buckets = sorted(self._runs)
         out = {
             "engine": self.engine,
+            "shards": (None if self._mesh is None
+                       else int(self._mesh.shape[self._mesh_axis])),
             "gallery_size": self.n_gallery,
             "dim": self.dim,
             "k": self.k,

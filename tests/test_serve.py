@@ -235,3 +235,56 @@ def test_cli_serve_parser():
          "--max-batch", "5"])
     assert args.engine == "int8" and args.port == 1234
     assert args.max_batch == 5  # rounded to 8 inside the service
+    assert args.sharded is False
+    args = build_parser().parse_args(["--gallery", "g.npz", "--sharded"])
+    assert args.sharded is True
+
+
+# ------------------------------------------------------- sharded serving
+
+
+@pytest.mark.parametrize("engine", ["exact", "int8"])
+def test_service_sharded_matches_unsharded(engine):
+    """The ICI-sharded daemon path (gallery row-sharded over the 8-device
+    mesh, per-shard streams + [Q, k] all_gather merge) returns exactly
+    what the single-device service does — including with a gallery size
+    that is NOT a multiple of the shard count (pad-row masking)."""
+    from research_image_retrieval_tpu.parallel import default_search_mesh
+
+    rng = np.random.default_rng(11)
+    g = _unit_rows(rng, 509, 32)  # 509 % 8 != 0 -> exercises padding
+    q = g[[3, 100, 508]]
+    mesh = default_search_mesh()
+    assert mesh.shape["data"] == 8  # conftest's virtual CPU mesh
+    kw = dict(engine=engine, k=7, max_batch=4, store_dtype="float32")
+    with SearchService(g, **kw) as ref_svc:
+        ref_s, ref_i = ref_svc.search(q)
+    with SearchService(g, mesh=mesh, **kw) as svc:
+        s, i = svc.search(q)
+        st = svc.stats()
+    assert st["shards"] == 8
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=0, atol=1e-5)
+    assert list(i[:, 0]) == [3, 100, 508]  # self-retrieval across shards
+
+
+def test_service_sharded_prequantized_and_validation(gallery):
+    """Prequantized int8 index served sharded == served unsharded; the
+    approx engine is rejected up front (selection='approx' on int8 is
+    the supported fast path)."""
+    from research_image_retrieval_tpu.ops import quantize_gallery_int8
+    from research_image_retrieval_tpu.parallel import default_search_mesh
+
+    mesh = default_search_mesh()
+    qg, scales = quantize_gallery_int8(gallery)
+    kw = dict(vecs_int8=np.asarray(qg), scales=np.asarray(scales),
+              k=5, max_batch=8)
+    with SearchService(**kw) as ref_svc:
+        ref_s, ref_i = ref_svc.search(gallery[40:44])
+    with SearchService(mesh=mesh, **kw) as svc:
+        s, i = svc.search(gallery[40:44])
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=0, atol=1e-5)
+
+    with pytest.raises(ValueError, match="sharded"):
+        SearchService(gallery, engine="approx", mesh=mesh)
