@@ -52,6 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
                    help="normalize inputs on the host (float32 batches) "
                         "instead of the default RAW-uint8 device-fused "
                         "path")
+    p.add_argument("--teacher", action="store_true", default=None,
+                   help="offline LLM-distillation teacher: encode one "
+                        "text per class ONCE on the host, gather by label "
+                        "in the jitted step (distillation models: sparse, "
+                        "hamlet)")
+    p.add_argument("--teacher-texts", default=None,
+                   help="label-text file, one text per line (line i = "
+                        "class i); default: synthetic 'a photo of "
+                        "landmark i' templates")
+    p.add_argument("--teacher-model", default=None,
+                   help="hub name for the teacher encoder (default "
+                        "distilbert-base-uncased; random-init fallback "
+                        "with a loud warning when no local weights exist)")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="debug: cap steps per epoch")
     return p

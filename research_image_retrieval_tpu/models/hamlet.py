@@ -124,6 +124,11 @@ class HAMLETModel(nn.Module):
     hidden: int = 256
     distill_weight: float = 0.5
     hierarchy_weight: float = 0.3
+    # teacher embedding width (DistilBERT hidden; data/teacher.py):
+    # text_head projects the STUDENT into teacher space, so the frozen
+    # teacher stays the fixed distillation target (no learned projection
+    # of the teacher — that direction can collapse the MSE term)
+    text_dim: int = 768
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -137,7 +142,7 @@ class HAMLETModel(nn.Module):
         self.cross_scale = CrossScaleAttention(self.hidden)
         self.context = ContextEnhancedConv(self.hidden)
         self.fusion = nn.Dense(self.outputdim, name="fusion")
-        self.text_head = nn.Dense(self.outputdim, name="text_head")
+        self.text_head = nn.Dense(self.text_dim, name="text_head")
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
     def _multi_scale(self, x, train: bool, valid_hw=None):
@@ -169,9 +174,22 @@ class HAMLETModel(nn.Module):
         return fused, descs
 
     def __call__(self, x, labels, train: bool = True, text_features=None):
+        """``text_features``: optional precomputed teacher embeddings,
+        [B, text_dim] or [B, L, text_dim] (token sequences mean-pool) —
+        the offline-teacher pattern (data/teacher.py; the reference runs
+        its text encoder in-forward, hamlet_model.py:473-607)."""
         fused, descs = self._multi_scale(x, train)
         logits = self.classifier(fused)
-        student_text = self.text_head(fused) if text_features is not None else None
+        if text_features is None:
+            # materialize text_head so the param tree is identical with
+            # and without a teacher — init without one, resume with one
+            _ = self.text_head(jnp.zeros_like(fused[:1]))
+            student_text = None
+        else:
+            if text_features.ndim == 3:
+                text_features = jnp.mean(text_features, axis=1)
+            text_features = jax.lax.stop_gradient(text_features)
+            student_text = self.text_head(fused)
         loss, _ = hamlet_loss(
             logits, labels, descs, text_features, student_text,
             self.distill_weight, self.hierarchy_weight,

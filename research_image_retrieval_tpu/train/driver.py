@@ -51,7 +51,45 @@ from research_image_retrieval_tpu.train.optimizer import (
 from research_image_retrieval_tpu.train.schedule import warmup_cosine_schedule
 from research_image_retrieval_tpu.utils.config import TrainConfig
 
-__all__ = ["train", "build_datasets", "build_optimizer"]
+__all__ = ["train", "build_datasets", "build_optimizer", "build_teacher_table"]
+
+
+def build_teacher_table(cfg: TrainConfig, model, num_classes: int):
+    """``[num_classes, text_dim]`` frozen teacher embeddings for the
+    distillation models (SPARSE/HAMLET take ``text_features``).
+
+    The teacher (data/teacher.TextTeacher) runs ONCE on the host; the
+    jitted step gathers rows by label on-device.  The reference runs a
+    DistilBERT forward inside every training step instead
+    (manus/1_SPARSE/sparse_model.py:91-97).
+    """
+    import inspect
+
+    from research_image_retrieval_tpu.data.teacher import (
+        TextTeacher,
+        default_label_texts,
+        load_label_texts,
+    )
+
+    if "text_features" not in inspect.signature(model.__call__).parameters:
+        raise ValueError(
+            f"--teacher set but model {cfg.model!r} takes no text_features; "
+            "distillation models: sparse, hamlet")
+    texts = (load_label_texts(cfg.teacher_texts, num_classes)
+             if cfg.teacher_texts else default_label_texts(num_classes))
+    teacher = TextTeacher(cfg.teacher_model,
+                          max_length=cfg.teacher_max_length)
+    table = teacher.class_table(texts)
+    want = getattr(model, "text_dim", None)
+    if want is not None and table.shape[1] != want:
+        raise ValueError(
+            f"teacher text_dim {table.shape[1]} != model text_dim {want}; "
+            f"set model_overrides text_dim={table.shape[1]} or pick a "
+            "matching teacher")
+    print(f">> teacher table: {table.shape[0]} classes x {table.shape[1]} "
+          f"dims ({'pretrained' if teacher.pretrained else 'random-init'} "
+          f"{cfg.teacher_model})")
+    return table
 
 
 def build_datasets(cfg: TrainConfig):
@@ -180,6 +218,11 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             print(f"note: {cfg.model} has no compute-dtype knob; "
                   f"ignoring compute_dtype={compute_dtype}")
     model = get_model(cfg.model, num_classes=num_classes, **model_kwargs)
+
+    teacher_table = (
+        build_teacher_table(cfg, model, num_classes)
+        if getattr(cfg, "teacher", False) else None
+    )
 
     mesh = make_mesh(data=cfg.data_parallel, model=cfg.model_parallel)
     train_it = ShardedBatchIterator(
@@ -325,8 +368,10 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
               f"at loop epoch {start_epoch}, data step {train_it.step}")
 
     train_step = make_train_step(model, tx, mesh=mesh, donate=False,
-                                 input_norm=input_norm)
-    eval_step = make_eval_step(model, mesh=mesh, input_norm=input_norm)
+                                 input_norm=input_norm,
+                                 teacher_table=teacher_table)
+    eval_step = make_eval_step(model, mesh=mesh, input_norm=input_norm,
+                               teacher_table=teacher_table)
 
     history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
     switched = phase == "main"
@@ -342,7 +387,8 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
             tx = build_optimizer(cfg, ipe, "main")
             state = state.replace(opt_state=tx.init(state.params), step=state.step * 0)
             train_step = make_train_step(model, tx, mesh=mesh, donate=False,
-                                         input_norm=input_norm)
+                                         input_norm=input_norm,
+                                         teacher_table=teacher_table)
             switched = True
             print(f">> optimizer hand-off to SGD at epoch {epoch}")
 

@@ -87,24 +87,35 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     input_norm=None,
+    teacher_table=None,
 ) -> Callable:
     """Build the jitted train step: (state, images, labels) -> (state, metrics).
 
     With a mesh, the batch is sharded over the 'data' axis and the state
     follows its placement shardings; XLA inserts the gradient all-reduce.
     ``input_norm=(mean, std)`` fuses RAW-uint8 input normalization into
-    the step (see ``_input_prep``).
+    the step (see ``_input_prep``).  ``teacher_table`` is an optional
+    ``[num_classes, text_dim]`` array of frozen teacher embeddings
+    (``data/teacher.TextTeacher.class_table``); the step gathers
+    ``teacher_table[labels]`` on-device and passes it to the model as
+    ``text_features`` — the distillation teacher costs one gather in the
+    hot loop instead of the reference's per-batch host-side DistilBERT
+    forward (``sparse_model.py:91-97``).
     """
     prep = _input_prep(input_norm)
+    table = None if teacher_table is None else jnp.asarray(teacher_table)
 
     def loss_fn(params, batch_stats, model_state, images, labels, dropout_rng):
         variables = {"params": params, "batch_stats": batch_stats}
         if model_state is not None:
             variables["model_state"] = model_state
+        kwargs = {}
+        if table is not None:
+            kwargs["text_features"] = jnp.take(table, labels, axis=0)
         (loss, logits), mutated = model.apply(
             variables, images, labels=labels, train=True,
             mutable=["batch_stats", "model_state"],
-            rngs={"dropout": dropout_rng},
+            rngs={"dropout": dropout_rng}, **kwargs,
         )
         return loss, (logits, mutated["batch_stats"],
                       mutated.get("model_state", None))
@@ -153,16 +164,26 @@ def make_train_step(
     )
 
 
-def make_eval_step(model, mesh=None, input_norm=None) -> Callable:
-    """Jitted validation step: (state, images, labels) -> metrics."""
+def make_eval_step(model, mesh=None, input_norm=None,
+                   teacher_table=None) -> Callable:
+    """Jitted validation step: (state, images, labels) -> metrics.
+
+    ``teacher_table`` as in ``make_train_step`` — keeps the validation
+    loss comparable to the training loss when distillation is on.
+    """
     prep = _input_prep(input_norm)
+    table = None if teacher_table is None else jnp.asarray(teacher_table)
 
     def step_fn(state: TrainState, images, labels):
         images = prep(images)
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         if state.model_state:
             variables["model_state"] = state.model_state
-        loss, logits = model.apply(variables, images, labels=labels, train=False)
+        kwargs = {}
+        if table is not None:
+            kwargs["text_features"] = jnp.take(table, labels, axis=0)
+        loss, logits = model.apply(variables, images, labels=labels,
+                                   train=False, **kwargs)
         e1, e5 = topk_errors(logits, labels, ks=(1, 5))
         return {"loss": loss, "top1_err": e1, "top5_err": e5}
 

@@ -58,6 +58,17 @@ class TrainConfig:
     # stay fp32 inside every model)
     compute_dtype: str = ""
 
+    # offline LLM-distillation teacher (data/teacher.TextTeacher): a
+    # frozen text encoder runs ONCE on the host over one text per class;
+    # the jitted step gathers teacher_table[labels] on-device as
+    # text_features.  Only distillation models (sparse, hamlet) accept
+    # it.  The reference instead runs DistilBERT inside every train
+    # forward (manus/1_SPARSE/sparse_model.py:91-97).
+    teacher: bool = False
+    teacher_texts: str = ""  # one text per line, line i = class i; "" = synthetic template
+    teacher_model: str = "distilbert-base-uncased"
+    teacher_max_length: int = 64
+
     # checkpointing / logging
     directory: str = "checkpoints"
     save_freq: int = 1
@@ -166,6 +177,14 @@ PRESETS: dict[str, dict[str, Any]] = {
     "adaptive_hybrid_r50": dict(
         model="adaptive_hybrid_r50", optimizer="adamw", base_lr=1e-3,
         num_epochs=8,
+    ),
+    # distillation prototypes (P1/P2): pair with --teacher for the
+    # offline LLM-distillation table (data/teacher.py)
+    "sparse_r50": dict(
+        model="sparse_r50", optimizer="adamw", base_lr=1e-3,
+    ),
+    "hamlet_r50": dict(
+        model="hamlet_r50", optimizer="adamw", base_lr=1e-3,
     ),
 }
 
