@@ -63,8 +63,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "landmark i' templates")
     p.add_argument("--teacher-model", default=None,
                    help="hub name for the teacher encoder (default "
-                        "distilbert-base-uncased; random-init fallback "
-                        "with a loud warning when no local weights exist)")
+                        "distilbert-base-uncased; hard error when no "
+                        "local weights exist unless "
+                        "--teacher-allow-random)")
+    p.add_argument("--teacher-allow-random", dest="teacher_allow_random",
+                   action="store_true", default=None,
+                   help="opt-in: fall back to a RANDOM-INIT teacher (+ "
+                        "hashing tokenizer) when the hub cache has no "
+                        "weights for --teacher-model — exercises the "
+                        "distillation path but carries no semantics")
     p.add_argument("--max-steps-per-epoch", type=int, default=None,
                    help="debug: cap steps per epoch")
     return p

@@ -80,11 +80,18 @@ class TextTeacher:
       config_overrides: DistilBertConfig overrides for the fallback
         (e.g. ``dict(n_layers=1, dim=32, hidden_dim=64, n_heads=2)``
         keeps tests fast); ignored when pretrained weights load.
+      allow_random_init: opt-in for the random-init fallback.  Without
+        it a missing/typo'd ``model_name`` (or corrupted hub cache) is a
+        HARD ERROR instead of a warning — a random teacher trains with
+        semantically meaningless distillation targets that are easy to
+        miss in logs (ADVICE r3).  ``rir-train --teacher-allow-random``
+        sets it from the CLI.
     """
 
     def __init__(self, model_name: str = "distilbert-base-uncased",
                  max_length: int = 64, seed: int = 0,
-                 config_overrides: dict | None = None):
+                 config_overrides: dict | None = None,
+                 allow_random_init: bool = False):
         import os
 
         # hard-offline: even with local_files_only=True, hub code paths
@@ -106,7 +113,16 @@ class TextTeacher:
             self._tokenizer = AutoTokenizer.from_pretrained(
                 model_name, local_files_only=True)
             self.pretrained = True
-        except Exception:
+        except Exception as e:
+            if not allow_random_init:
+                raise RuntimeError(
+                    f"TextTeacher: could not load pretrained "
+                    f"'{model_name}' from the local hub cache "
+                    f"({type(e).__name__}: {e}). Check the model name / "
+                    "cache, or pass allow_random_init=True "
+                    "(--teacher-allow-random) to knowingly distill from a "
+                    "RANDOM-INIT teacher."
+                ) from e
             cfg = DistilBertConfig(**(config_overrides or {}))
             torch.manual_seed(seed)
             self._model = DistilBertModel(cfg)

@@ -83,10 +83,27 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
     def _read_json(self) -> dict:
-        length = int(self.headers.get("Content-Length", 0))
+        # Keep-alive safety: replying before the request body is consumed
+        # leaves body bytes in the socket and desyncs the next pipelined
+        # request, so any path that cannot (or does not) drain the body
+        # must drop the connection (ADVICE r3).
+        if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+            self.close_connection = True
+            raise ValueError("chunked transfer-encoding is not supported; "
+                             "send Content-Length")
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            self.close_connection = True
+            raise ValueError("bad Content-Length header")
         if length <= 0:
+            self.close_connection = True
             raise ValueError("empty request body")
-        return json.loads(self.rfile.read(length))
+        body = self.rfile.read(length)
+        if len(body) < length:  # client hung up mid-body
+            self.close_connection = True
+            raise ValueError("truncated request body")
+        return json.loads(body)
 
     def log_message(self, fmt, *args):  # quiet by default
         if getattr(self.server, "verbose", False):
@@ -116,9 +133,25 @@ class _Handler(BaseHTTPRequestHandler):
         except (ValueError, json.JSONDecodeError) as e:
             return self._reply(400, {"error": f"bad JSON body: {e}"})
         try:
+            k = body.get("k")
+            if k is not None:
+                try:
+                    k = int(k)
+                except (TypeError, ValueError):
+                    return self._reply(
+                        400, {"error": f"k must be an integer, got {k!r}"})
             if self.path == "/search":
-                vecs = np.asarray(body["vectors"], np.float32)
-                scores, idx = service.search(vecs, k=body.get("k"))
+                if "vectors" not in body:
+                    return self._reply(
+                        400, {"error": "need vectors: [[...], ...] "
+                                       "(a list of descriptor rows)"})
+                try:
+                    vecs = np.asarray(body["vectors"], np.float32)
+                except (TypeError, ValueError):
+                    return self._reply(
+                        400, {"error": "vectors must be a rectangular "
+                                       "numeric array [[...], ...]"})
+                scores, idx = service.search(vecs, k=k)
                 return self._reply(200, _results_json(service, scores, idx))
             if self.path == "/search/image":
                 extractor = self.server.extractor
@@ -138,7 +171,7 @@ class _Handler(BaseHTTPRequestHandler):
                     for s in b64s
                 ]
                 vecs = extractor(images)
-                scores, idx = service.search(vecs, k=body.get("k"))
+                scores, idx = service.search(vecs, k=k)
                 return self._reply(200, _results_json(service, scores, idx))
             return self._reply(404, {"error": f"unknown path {self.path}"})
         except (KeyError, ValueError) as e:

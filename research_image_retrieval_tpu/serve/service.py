@@ -347,7 +347,12 @@ class SearchService:
         req = _Request(np.ascontiguousarray(v), kk, threading.Event())
         t0 = time.monotonic()
         self._queue.put(req)
-        req.done.wait()
+        # Bounded waits, re-checking liveness: close() may set _stop and
+        # drain the queue between the _stop check above and the put — the
+        # worker would then never answer this request (ADVICE r3).
+        while not req.done.wait(timeout=0.1):
+            if self._stop.is_set() and not self._worker.is_alive():
+                raise RuntimeError("service closed")
         if req.error is not None:
             raise req.error
         with self._lock:

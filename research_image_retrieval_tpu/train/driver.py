@@ -78,7 +78,8 @@ def build_teacher_table(cfg: TrainConfig, model, num_classes: int):
     texts = (load_label_texts(cfg.teacher_texts, num_classes)
              if cfg.teacher_texts else default_label_texts(num_classes))
     teacher = TextTeacher(cfg.teacher_model,
-                          max_length=cfg.teacher_max_length)
+                          max_length=cfg.teacher_max_length,
+                          allow_random_init=cfg.teacher_allow_random)
     table = teacher.class_table(texts)
     want = getattr(model, "text_dim", None)
     if want is not None and table.shape[1] != want:

@@ -68,6 +68,10 @@ class TrainConfig:
     teacher_texts: str = ""  # one text per line, line i = class i; "" = synthetic template
     teacher_model: str = "distilbert-base-uncased"
     teacher_max_length: int = 64
+    # opt-in for a RANDOM-INIT teacher when the hub cache misses — off by
+    # default so a typo'd teacher_model hard-errors instead of silently
+    # distilling noise (ADVICE r3)
+    teacher_allow_random: bool = False
 
     # checkpointing / logging
     directory: str = "checkpoints"

@@ -30,16 +30,22 @@ def _tiny_teacher(seed=0):
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         return TextTeacher("this-model-does-not-exist", max_length=16,
-                           seed=seed, config_overrides=TINY)
+                           seed=seed, config_overrides=TINY,
+                           allow_random_init=True)
 
 
 class TestTextTeacher:
     def test_fallback_warns_and_reports_dim(self):
         with pytest.warns(UserWarning, match="RANDOM-INIT"):
             t = TextTeacher("this-model-does-not-exist", max_length=16,
-                            config_overrides=TINY)
+                            config_overrides=TINY, allow_random_init=True)
         assert not t.pretrained
         assert t.text_dim == TINY["dim"]
+
+    def test_missing_model_hard_errors_without_opt_in(self):
+        with pytest.raises(RuntimeError, match="allow_random_init"):
+            TextTeacher("this-model-does-not-exist", max_length=16,
+                        config_overrides=TINY)
 
     def test_encode_shape_and_determinism(self):
         texts = ["a photo of landmark 0", "the eiffel tower at night"]
