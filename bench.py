@@ -101,18 +101,48 @@ def _extract_1024_ms3(get_model, timed_slope):
     }
 
 
+def _tunnel_h2d(get_model=None):
+    """Measured host->device transfer bandwidth — the PHYSICAL ceiling of
+    any host-fed pipeline on this rig (the real chip hangs off a remote
+    tunnel; a PCIe-attached v5e host moves >8 GB/s and is never the
+    bottleneck).  At the 1024px uint8 ms3 operating point, pipe
+    throughput cannot exceed bandwidth / ~2.36 MB per image."""
+    import time
+
+    dev = jax.devices()[0]
+    host = np.random.default_rng(7).integers(
+        0, 256, (16 * 1024 * 1024,), dtype=np.uint8)
+
+    def once():
+        t0 = time.perf_counter()
+        d = jax.device_put(host, dev)
+        np.asarray(jnp.sum(d[:2].astype(jnp.float32)))  # force completion
+        return 16.0 / (time.perf_counter() - t0)
+
+    once()  # warm the transfer path
+    v = max(once() for _ in range(3))
+    return {
+        "metric": "tunnel_h2d_mb_per_sec",
+        "value": round(v, 1),
+        "unit": "MB/s",
+        "vs_baseline": None,  # rig property, no reference analogue
+    }
+
+
 def _extract_pipe_1024_ms3(get_model):
     """End-to-end streaming extraction at the reference's eval operating
     point (imsize 1024, ms=[1, 2^-1/2, 1/2]) — wall-clock through
-    ``extract_vectors`` with device-side scales + fused uint8
-    normalization, over variable-resolution host images.
+    ``extract_vectors`` with device-side scales + accumulation + fused
+    uint8 normalization, over variable-resolution host images.
 
     Shapes are limited to two aspect-preserved buckets so a cold run
-    compiles ~6 programs (persistent cache makes repeats near-free);
+    compiles ~3 programs (persistent cache makes repeats near-free);
     decode is excluded (images pre-decoded in RAM — the native JPEG
     decode stage is measured separately in BENCH.md and scales with
-    host cores, of which this rig has one).
+    host cores, of which this rig has one).  The per-stage trace prints
+    to stderr (BENCH.md pipeline stage table).
     """
+    import sys
     import time
 
     from research_image_retrieval_tpu.data.transforms import (
@@ -138,12 +168,17 @@ def _extract_pipe_1024_ms3(get_model):
             for i in range(n_img)]
     norm = (IMAGENET_MEAN, IMAGENET_STD)
     kw = dict(scales=(1.0, 2 ** -0.5, 0.5), bucket=128, batch_size=4,
-              device_scales=True, input_norm=norm, pipeline_depth=2)
+              device_scales=True, input_norm=norm)
     extract_vectors(masked, imgs[:8], **kw)  # compile + warm the pipeline
+    trace = {}
     t0 = time.time()
-    vecs = extract_vectors(masked, imgs, **kw)
+    vecs = extract_vectors(masked, imgs, trace=trace, **kw)
     sec = time.time() - t0
     assert vecs.shape[0] == n_img
+    trace["wall_s"] = round(sec, 3)
+    trace["imgs"] = n_img
+    print(f"pipe stage trace: {json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in trace.items()})}",
+          file=sys.stderr, flush=True)
     v = n_img / sec
     return {
         "metric": "gem_r50_pipe_extract_imgs_per_sec_1024_ms3",
@@ -282,6 +317,7 @@ def main():
         (_topk_1p4m, (timed_slope,)),
         (_train_step_512, (get_model, timed_slope)),
         (_extract_1024_ms3, (get_model, timed_slope)),
+        (_tunnel_h2d, ()),
         (_extract_pipe_1024_ms3, (get_model,)),
     ):
         if time.time() - t0 > budget:

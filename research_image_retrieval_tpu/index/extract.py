@@ -25,14 +25,22 @@ bucketed device program — no per-(shape, scale) device compiles.
 
 The bucketed path is a PIPELINE, not a barrier: images stream from the
 (lazy) loader, host decode + resize of image i+1.. overlaps device
-compute of earlier batches via JAX async dispatch, and readbacks are
-deferred ``pipeline_depth`` dispatches (descriptors are tiny, so the
-deferred copies are cheap).
+compute of earlier batches via JAX async dispatch, and descriptors
+ACCUMULATE ON DEVICE (scatter-add into a preallocated [cap+1, D]
+block buffer) — the host reads back ONCE per block at ``finish()``
+instead of once per dispatch.  On remote/tunnel-attached accelerators
+(this rig: ~25 MB/s H2D, ~0.2 ms warm round-trip, asynchronous put
+calls) per-dispatch readbacks serialize the whole stream against the
+transfer queue; round-3 measured 0.59 img/s end-to-end vs 242 img/s
+device-only at the 1024px ms3 operating point from exactly that
+(BENCH.md, pipeline stage table).
 """
 
 from __future__ import annotations
 
 import math
+import time
+from collections import deque
 from typing import Callable, Iterable, Sequence
 
 import jax
@@ -56,18 +64,26 @@ def _snap(v: int, multiple: int) -> int:
     return max(multiple, int(round(v / multiple)) * multiple)
 
 
-def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+def _resize_bilinear(x: jnp.ndarray, h: int, w: int,
+                     antialias: bool = True) -> jnp.ndarray:
     """Bilinear resize of NHWC batch (half-pixel centers = torch
-    align_corners=False)."""
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), method="bilinear")
+    align_corners=False).  ``antialias=False`` reproduces torch
+    ``F.interpolate(mode="bilinear")``'s plain 2-tap kernel — the
+    reference's multi-scale resize (utils/helpfunc.py:30-46 does NOT
+    antialias when downscaling)."""
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[3]),
+                            method="bilinear", antialias=antialias)
 
 
-def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
+def _resize_weights(in_size: int, out_size: int,
+                    antialias: bool = True) -> np.ndarray:
     """[in, out] triangle-kernel weight matrix of jax.image.resize
-    (method="bilinear", antialias=True, half-pixel centers)."""
+    (method="bilinear", half-pixel centers); ``antialias=False`` keeps
+    the 2-tap kernel when downscaling (torch F.interpolate)."""
     scale = out_size / in_size
     inv_scale = 1.0 / scale
-    kernel_scale = max(inv_scale, 1.0)  # antialias widens when downscaling
+    # antialias widens the kernel when downscaling
+    kernel_scale = max(inv_scale, 1.0) if antialias else 1.0
     sample_f = (np.arange(out_size) + 0.5) * inv_scale - 0.5
     x = np.abs(sample_f[None, :] - np.arange(in_size)[:, None]) / kernel_scale
     weights = np.maximum(0.0, 1.0 - x)  # triangle kernel
@@ -78,7 +94,8 @@ def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
 
 
 def _resize_taps(
-    in_size: int, out_size: int, k: int | None = None
+    in_size: int, out_size: int, k: int | None = None,
+    antialias: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sparse form of ``_resize_weights``: ([out, k] input indices,
     [out, k] weights) covering the triangle kernel's <= k nonzero taps
@@ -92,7 +109,8 @@ def _resize_taps(
     """
     scale = out_size / in_size
     inv_scale = 1.0 / scale
-    kernel_scale = max(inv_scale, 1.0)  # antialias widens when downscaling
+    kernel_scale = (max(inv_scale, 1.0) if antialias
+                    else 1.0)  # antialias widens when downscaling
     sample_f = (np.arange(out_size) + 0.5) * inv_scale - 0.5
     min_k = 2 * int(math.ceil(kernel_scale)) + 1
     if k is None:
@@ -109,7 +127,8 @@ def _resize_taps(
     return np.clip(idx, 0, in_size - 1), weights.astype(np.float32)
 
 
-def resize_bilinear_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
+def resize_bilinear_np(img: np.ndarray, h: int, w: int,
+                       antialias: bool = True) -> np.ndarray:
     """Host-side bilinear (antialiased) resize of one [H, W, C] image.
 
     Matches ``jax.image.resize(..., method="bilinear")`` to float rounding
@@ -126,16 +145,17 @@ def resize_bilinear_np(img: np.ndarray, h: int, w: int) -> np.ndarray:
     device-bound on the 1-core rig.
     """
     img = np.asarray(img, np.float32)
-    from research_image_retrieval_tpu.data.native_resize import (
-        resize_bilinear_native,
-    )
+    if antialias:  # the native kernel implements the antialiased taps
+        from research_image_retrieval_tpu.data.native_resize import (
+            resize_bilinear_native,
+        )
 
-    native = resize_bilinear_native(img, h, w)
-    if native is not None:
-        return native
-    hi, hw_ = _resize_taps(img.shape[0], h)  # [h, k]
+        native = resize_bilinear_native(img, h, w)
+        if native is not None:
+            return native
+    hi, hw_ = _resize_taps(img.shape[0], h, antialias=antialias)  # [h, k]
     out = np.einsum("ok,okjc->ojc", hw_, img[hi], optimize=True)
-    wi, ww_ = _resize_taps(img.shape[1], w)  # [w, k]
+    wi, ww_ = _resize_taps(img.shape[1], w, antialias=antialias)  # [w, k]
     return np.einsum("ok,iokc->ioc", ww_, out[:, wi], optimize=True)
 
 
@@ -143,6 +163,7 @@ def multiscale_descriptor(
     extract_fn: Callable[[jnp.ndarray], jnp.ndarray],
     images: jnp.ndarray,
     scales: Sequence[float] = (1.0,),
+    antialias: bool = True,
 ) -> jnp.ndarray:
     """Multi-scale descriptor for a batch of same-resolution images.
 
@@ -170,7 +191,8 @@ def multiscale_descriptor(
         nh, nw = int(math.floor(H * s)), int(math.floor(W * s))
         if nh < _MIN_SIDE or nw < _MIN_SIDE:
             continue
-        scaled = images if s == 1.0 else _resize_bilinear(images, nh, nw)
+        scaled = (images if s == 1.0
+                  else _resize_bilinear(images, nh, nw, antialias=antialias))
         vec = extract_fn(scaled)
         acc = vec if acc is None else acc + vec
         kept += 1
@@ -182,7 +204,8 @@ def multiscale_descriptor(
 
 
 def _scale_tasks(
-    idx: int, img: np.ndarray, scales: Sequence[float], multiple: int = 1
+    idx: int, img: np.ndarray, scales: Sequence[float], multiple: int = 1,
+    antialias: bool = True,
 ) -> list[tuple[int, np.ndarray]]:
     """Expand one image into (owner index, scaled image) tasks, applying
     the reference's <36px guards (utils/helpfunc.py:22-46).
@@ -203,7 +226,7 @@ def _scale_tasks(
         if multiple > 1:
             nh, nw = _snap(nh, multiple), _snap(nw, multiple)
         if (nh, nw) != (H, W):
-            img = resize_bilinear_np(img, nh, nw)
+            img = resize_bilinear_np(img, nh, nw, antialias=antialias)
         return [(idx, img)]
     tasks = []
     for s in scales:
@@ -213,7 +236,8 @@ def _scale_tasks(
         if multiple > 1:
             nh, nw = _snap(nh, multiple), _snap(nw, multiple)
         scaled = (
-            img if (nh, nw) == (H, W) else resize_bilinear_np(img, nh, nw)
+            img if (nh, nw) == (H, W)
+            else resize_bilinear_np(img, nh, nw, antialias=antialias)
         )
         tasks.append((idx, scaled))
     if not tasks:
@@ -223,270 +247,436 @@ def _scale_tasks(
     return tasks
 
 
-class _BucketStream:
-    """Streaming bucketed masked extraction with host/device overlap.
+def _dense_resize_weights(in_sz, out_sz, in_pad: int, out_pad: int,
+                          antialias: bool = True):
+    """In-graph [B, out_pad, in_pad] separable triangle-kernel resize
+    weights (bilinear, antialias, half-pixel centers) from per-image
+    int32 extents.
 
-    Tasks (owner index, scaled image) are fed one at a time; whenever a
+    Same math as ``_resize_taps`` with the zeros kept: weights are
+    masked to each image's valid input extent (``h < in_sz`` — padding
+    never bleeds in) and normalized per output sample; output rows
+    beyond ``out_sz`` carry zero weight.  Built ON DEVICE so a resize
+    dispatch transfers no tap tables — on tunnel-attached accelerators
+    per-put latency made the round-3 host-built tables a measurable
+    pipeline cost (BENCH.md stage table).
+    """
+    f32 = jnp.float32
+    o = jnp.arange(out_pad, dtype=f32)[None, :]               # [1, op]
+    h = jnp.arange(in_pad, dtype=f32)[None, None, :]          # [1, 1, ip]
+    in_f = in_sz.astype(f32)[:, None]                         # [B, 1]
+    out_f = out_sz.astype(f32)[:, None]
+    inv = in_f / jnp.maximum(out_f, 1.0)
+    ks = jnp.maximum(inv, 1.0) if antialias else jnp.ones_like(inv)
+    sample = (o + 0.5) * inv - 0.5                            # [B, op]
+    x = jnp.abs(sample[:, :, None] - h) / ks[:, :, None]
+    w = jnp.maximum(0.0, 1.0 - x)                             # triangle
+    w = jnp.where(h < in_f[:, :, None], w, 0.0)
+    w = jnp.where((o < out_f)[:, :, None], w, 0.0)
+    tot = w.sum(axis=2, keepdims=True)
+    return jnp.where(jnp.abs(tot) > 1e-7, w / tot, 0.0)
+
+
+class _AccumStream:
+    """Streaming bucketed masked extraction with DEVICE-SIDE accumulation.
+
+    Tasks (owner index, image) are fed one at a time; whenever a
     resolution bucket fills to ``batch_size`` the batch is DISPATCHED
-    asynchronously (JAX async dispatch returns before the device runs)
-    and only read back ``pipeline_depth`` dispatches later.  Between a
-    dispatch and its readback the host keeps decoding/resizing the next
-    images, so on the 1-core rig the expensive host bilinear resizes of
-    the 1024px multi-scale path run WHILE the chip computes the previous
-    batch instead of strictly before it (VERDICT r2 weak #4).
+    asynchronously.  Each dispatch is one compiled program
+    ``(acc, kept, batch, meta) -> (acc', kept', ticket)`` that extracts
+    descriptors and scatter-adds them into a preallocated
+    ``[block_cap + 1, D]`` fp32 device buffer at their owner rows
+    (row ``block_cap`` is a trash row absorbing padding/invalid rows);
+    ``acc``/``kept`` are donated, so the accumulator never copies.  The
+    host performs NO readback until ``finish()``, which finalizes
+    (divide by kept + re-L2-normalize for multi-scale) on device and
+    reads the block back ONCE.
+
+    Why: on this rig's tunnel-attached TPU a warm readback is ~0.2 ms
+    but it SYNCHRONIZES against the ~25 MB/s H2D queue; round 3's
+    per-dispatch readbacks serialized the stream to 0.59 img/s at the
+    1024px ms3 point vs 242 img/s device-only.  With device
+    accumulation the host thread only issues asynchronous puts and
+    dispatches, so throughput is bounded by max(H2D bandwidth, device
+    compute) — the transfer engine streams at capacity.
+
+    ``max_inflight`` bounds run-ahead: every dispatch returns an int32
+    scalar ticket (data-dependent on that update); when more than
+    ``max_inflight`` tickets are outstanding the host blocks on the
+    OLDEST one — bounding host+device memory pinned by queued batches
+    without ever synchronizing the full queue.
 
     Each distinct bucket shape compiles once: the batch axis is fixed at
-    ``batch_size`` (tail chunks are padded with zero images whose outputs
-    are dropped).  With a ``mesh``, batches shard over its 'data' axis
-    (ICI data-parallel index building) and the batch size rounds up to a
-    multiple of that axis.
+    ``batch_size`` (tail chunks are padded with zero images scattered to
+    the trash row).  With a ``mesh``, batches shard over its 'data' axis
+    (ICI data-parallel index building), the accumulator is replicated,
+    and the batch size rounds up to a multiple of that axis.
+
+    Images exceeding ``block_cap`` roll into a new block: pending
+    partial buckets flush, the finished block reads back, and the
+    accumulator resets — one readback per ``block_cap`` images.
     """
 
     def __init__(self, extract_fn, bucket: int, batch_size: int,
-                 mesh=None, pipeline_depth: int = 2):
+                 mesh=None, max_inflight: int = 16, block_cap: int = 8192,
+                 trace: dict | None = None):
+        self.extract_fn = extract_fn
         self.put = jnp.asarray
+        self._rep = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
             dsize = mesh.shape["data"]
             batch_size = -(-batch_size // dsize) * dsize
             in_sh = NamedSharding(mesh, PartitionSpec("data"))
+            self._rep = NamedSharding(mesh, PartitionSpec())
             self.put = lambda x: jax.device_put(jnp.asarray(x), in_sh)
-            self.jitted = jax.jit(
-                extract_fn,
-                out_shardings=NamedSharding(mesh, PartitionSpec()),
-            )
-        else:
-            self.jitted = jax.jit(extract_fn)
         self.bucket = bucket
         self.batch_size = batch_size
-        self.depth = max(0, pipeline_depth)
+        self.max_inflight = max(1, int(max_inflight))
+        self.block_cap = int(block_cap)
         self.in_dtype = np.float32
-        self.pending: dict[tuple[int, int], list[tuple[int, np.ndarray]]] = {}
-        self.inflight: list[tuple[list[int], jax.Array]] = []
-        self.out: list[tuple[int, np.ndarray]] = []
+        self.multi = False  # overridden by extract_vectors for host-ms
+        self.pending: dict[tuple, list] = {}
+        self.tickets: deque = deque()
+        self.programs: dict = {}
+        self.acc = None
+        self.kept = None
+        self._fin = None
+        self._mk_buffers = None
+        self.outputdim = None
+        self.block_base = 0
+        self.block_n = 0          # images owned by the current block
+        self.blocks: list[np.ndarray] = []
+        self.trace = trace if trace is not None else {}
+        for k in ("assemble_s", "h2d_call_s", "dispatch_call_s",
+                  "backpressure_wait_s", "finalize_s", "h2d_bytes",
+                  "n_dispatches", "n_block_flushes"):
+            self.trace.setdefault(k, 0.0 if k.endswith("_s") else 0)
+
+    # -- program construction -------------------------------------------
+
+    def _jit(self, fn):
+        kw = {"donate_argnums": (0, 1)}
+        if self._rep is not None:
+            kw["out_shardings"] = (self._rep, self._rep, self._rep)
+        return jax.jit(fn, **kw)
+
+    def _build_update(self, key: tuple):
+        extract = self.extract_fn
+        cap = self.block_cap
+
+        def update(acc, kept, batch, meta):
+            vecs = extract(batch, meta[:, :2])
+            tgt = meta[:, 2]
+            acc = acc.at[tgt].add(vecs.astype(jnp.float32))
+            kept = kept.at[tgt].add(1)
+            return acc, kept, kept[cap]
+
+        return self._jit(update)
+
+    def _program(self, key: tuple):
+        prog = self.programs.get(key)
+        if prog is None:
+            prog = self.programs[key] = self._build_update(key)
+        return prog
+
+    # -- accumulator lifecycle -------------------------------------------
+
+    def _ensure_buffers(self, key: tuple) -> None:
+        if self.acc is not None:
+            return
+        if self.outputdim is None:
+            bh, bw = key[0], key[1]
+            spec = jax.ShapeDtypeStruct(
+                (self.batch_size, bh, bw, 3), jnp.float32)
+            ext = jax.ShapeDtypeStruct((self.batch_size, 2), jnp.int32)
+            self.outputdim = int(
+                jax.eval_shape(self.extract_fn, spec, ext).shape[-1])
+        if self._mk_buffers is None:
+            cap = self.block_cap
+            D = self.outputdim
+            self._mk_buffers = jax.jit(
+                lambda: (jnp.zeros((cap + 1, D), jnp.float32),
+                         jnp.zeros((cap + 1,), jnp.int32)),
+                **({"out_shardings": (self._rep, self._rep)}
+                   if self._rep is not None else {}),
+            )
+        self.acc, self.kept = self._mk_buffers()
+
+    def _finalize_block(self) -> None:
+        """Finalize the current block on device and read it back once."""
+        for key in list(self.pending):
+            if self.pending[key]:
+                self._dispatch(key, self.pending[key])
+                self.pending[key] = []
+        n = self.block_n
+        if n == 0:
+            return
+        t0 = time.perf_counter()
+        cap = self.block_cap
+        if self.multi:
+            if self._fin is None:
+                self._fin = jax.jit(lambda a, k: l2_normalize(
+                    a[:cap]
+                    / jnp.maximum(k[:cap], 1).astype(jnp.float32)[:, None]))
+            res = self._fin(self.acc, self.kept)
+        else:
+            res = self.acc
+        self.blocks.append(np.asarray(res[:n]))
+        self.trace["finalize_s"] += time.perf_counter() - t0
+        self.trace["n_block_flushes"] += 1
+        self.acc = None
+        self.kept = None
+        self.tickets.clear()
+        self.block_base += n
+        self.block_n = 0
+
+    # -- feeding ----------------------------------------------------------
+
+    def _key_and_task(self, owner: int, img: np.ndarray):
+        q = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
+        return (q(img.shape[0]), q(img.shape[1])), (owner, img, None)
 
     def add(self, owner: int, img: np.ndarray) -> None:
-        q = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
-        key = (q(img.shape[0]), q(img.shape[1]))
+        if owner - self.block_base >= self.block_cap:
+            self._finalize_block()
+        self.block_n = max(self.block_n, owner - self.block_base + 1)
+        key, task = self._key_and_task(owner, img)
         items = self.pending.setdefault(key, [])
-        items.append((owner, img))
+        items.append(task)
         if len(items) >= self.batch_size:
             self._dispatch(key, items)
             self.pending[key] = []
 
-    def _assemble(self, key: tuple[int, int], chunk):
-        bh, bw = key
+    # -- dispatching -------------------------------------------------------
+
+    def _meta_width(self) -> int:
+        return 3
+
+    def _fill_meta(self, meta: np.ndarray, r: int, task) -> None:
+        owner, img, _ = task
+        meta[r, 0:2] = img.shape[:2]
+        meta[r, 2] = owner - self.block_base
+
+    def _assemble(self, key: tuple, chunk):
+        bh, bw = key[0], key[1]
         batch = np.zeros((self.batch_size, bh, bw, 3), self.in_dtype)
-        extents = np.full((self.batch_size, 2), (bh, bw), np.int32)
-        for k, (_, img) in enumerate(chunk):
-            batch[k, : img.shape[0], : img.shape[1]] = img
-            extents[k] = img.shape[:2]
-        return batch, extents
+        # padding rows: full-extent feeds (keeps masked arithmetic
+        # in-range) scattered to the trash row
+        meta = np.full((self.batch_size, self._meta_width()),
+                       self.block_cap, np.int32)
+        meta[:, 0] = bh
+        meta[:, 1] = bw
+        for r, task in enumerate(chunk):
+            img = task[1]
+            batch[r, : img.shape[0], : img.shape[1]] = img
+            self._fill_meta(meta, r, task)
+        return batch, meta
 
-    def _dispatch(self, key: tuple[int, int], chunk) -> None:
-        batch, extents = self._assemble(key, chunk)
-        vecs = self.jitted(self.put(batch), self.put(extents))
-        self._enqueue([(k, o) for k, (o, _) in enumerate(chunk)], vecs)
+    def _dispatch(self, key: tuple, chunk) -> None:
+        t0 = time.perf_counter()
+        batch, meta = self._assemble(key, chunk)
+        t1 = time.perf_counter()
+        dev_batch = self.put(batch)
+        dev_meta = self.put(meta)
+        t2 = time.perf_counter()
+        self._ensure_buffers(key)
+        self.acc, self.kept, ticket = self._program(key)(
+            self.acc, self.kept, dev_batch, dev_meta)
+        t3 = time.perf_counter()
+        self.tickets.append(ticket)
+        if len(self.tickets) > self.max_inflight:
+            np.asarray(self.tickets.popleft())  # block on the OLDEST only
+        t4 = time.perf_counter()
+        tr = self.trace
+        tr["assemble_s"] += t1 - t0
+        tr["h2d_call_s"] += t2 - t1
+        tr["dispatch_call_s"] += t3 - t2
+        tr["backpressure_wait_s"] += t4 - t3
+        tr["h2d_bytes"] += batch.nbytes + meta.nbytes
+        tr["n_dispatches"] += 1
 
-    def _enqueue(self, row_owner_pairs, vecs) -> None:
-        self.inflight.append((row_owner_pairs, vecs))
-        while len(self.inflight) > self.depth:
-            self._read_one()
-
-    def _read_one(self) -> None:
-        pairs, vecs = self.inflight.pop(0)
-        host = np.asarray(vecs)
-        self.out.extend((o, host[r]) for r, o in pairs)
-
-    def finish(self) -> list[tuple[int, np.ndarray]]:
-        """Flush partial buckets and drain the pipeline."""
-        for key, items in self.pending.items():
-            if items:
-                self._dispatch(key, items)
-        self.pending.clear()
-        while self.inflight:
-            self._read_one()
-        return self.out
-
-
-def _scaled_extract_factory(extract_fn):
-    """Masked extract preceded by an exact on-device tap-table resize.
-
-    The resize is the same separable triangle kernel as
-    ``resize_bilinear_np`` but expressed as two one-hot MXU matmuls (TPU
-    gathers are slow; one-hot matmul is this repo's standard pattern, cf.
-    ops/topk_stream.py's candidate gather).  Tap indices reference only
-    rows/cols inside each image's valid extent, so the result is exactly
-    the resize of the unpadded image — padding never bleeds in.
-    ``Precision.HIGHEST`` keeps the interpolation fp32-true (the default
-    TPU matmul quantizes inputs to bf16; BENCH.md "matmul semantics").
-    """
-
-    def fn(images, row_idx, row_w, col_idx, col_w, out_extents):
-        hp = jax.lax.Precision.HIGHEST
-        f32 = jnp.float32
-        wh = (jax.nn.one_hot(row_idx, images.shape[1], dtype=f32)
-              * row_w[..., None]).sum(axis=2)              # [B, oh, H]
-        x = jnp.einsum("boh,bhwc->bowc", wh, images.astype(f32),
-                       precision=hp)
-        ww = (jax.nn.one_hot(col_idx, images.shape[2], dtype=f32)
-              * col_w[..., None]).sum(axis=2)              # [B, ow, W]
-        x = jnp.einsum("bow,bhwc->bhoc", ww, x, precision=hp)
-        return extract_fn(x, out_extents)
-
-    return fn
+    def finish(self) -> np.ndarray:
+        """Flush pending buckets, finalize every block, return [N, D]."""
+        self._finalize_block()
+        if not self.blocks:
+            return np.zeros((0, self.outputdim or 0), np.float32)
+        return (self.blocks[0] if len(self.blocks) == 1
+                else np.concatenate(self.blocks, axis=0))
 
 
-def _tap_batch(
-    in_sizes: np.ndarray,
-    out_sizes: np.ndarray,
-    valid: np.ndarray,
-    out_pad: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """[B, out_pad, k] (indices, weights) tap tables for a batch of
-    per-image resizes (k = max triangle support width over valid rows;
-    rows beyond an image's output extent, and invalid rows, carry zero
-    weight)."""
-    B = len(in_sizes)
-    k = 3
-    for r in range(B):
-        if valid[r]:
-            ks = max(in_sizes[r] / out_sizes[r], 1.0)
-            k = max(k, 2 * int(math.ceil(ks)) + 1)
-    idx = np.zeros((B, out_pad, k), np.int32)
-    w = np.zeros((B, out_pad, k), np.float32)
-    for r in range(B):
-        if not valid[r]:
-            continue
-        n = int(out_sizes[r])
-        ri, rw = _resize_taps(int(in_sizes[r]), n, k=k)
-        idx[r, :n] = ri
-        w[r, :n] = rw
-    return idx, w
-
-
-class _DeviceScaleStream(_BucketStream):
-    """Bucketed multi-scale extraction with ON-DEVICE resize.
+class _DeviceScaleAccumStream(_AccumStream):
+    """Bucketed multi-scale extraction with ON-DEVICE resize + accumulate.
 
     Each image transfers to the device ONCE at native resolution (padded
-    into its bucket); every scale then runs a compiled program that
-    resizes on-device via per-image tap tables (``_scaled_extract_factory``)
-    and feeds the masked extractor.  Vs the host-resize path this removes
-    all per-scale host resizes AND shrinks host->device traffic ~1.8x at
-    the reference's ms=[1, 2^-1/2, 1/2] eval point — on the 1-core rig
-    the host was the multi-scale bottleneck (VERDICT r2 weak #4).
+    into its bucket); ONE compiled program per bucket then runs EVERY
+    scale in-graph: dense separable triangle-kernel resize weights are
+    built on device from the [B, 2] extents (``_dense_resize_weights`` —
+    no tap-table transfers), the resize runs as two fp32
+    ``Precision.HIGHEST`` MXU einsums, the masked extractor consumes
+    each scaled batch, and descriptors scatter-add into the block
+    accumulator.  Per batch of B images the host issues exactly TWO puts
+    (pixels + a [B, 3+3S] int32 meta) and ONE dispatch — vs round 3's
+    1 + 5S puts and S dispatches (+S readbacks).
 
-    Exactness: tap indices cover only the valid extent, so results match
-    the host-resize path to float rounding (tests/test_device_scales.py).
+    Exactness: weights cover only the valid extent, so results match the
+    host-resize path to float rounding (tests/test_device_scales.py).
     The reference's <36px scale guard (utils/helpfunc.py:30-46) is
-    applied per image per scale; rows whose scale is skipped are dropped
-    at readback.  With ``extent_multiple`` > 1, every scale (including
-    1.0) routes through the resize program so the model always sees
-    grid-aligned extents.
+    applied host-side per image per scale and carried in meta; skipped
+    rows scatter into the trash row.  With ``extent_multiple`` > 1 every
+    scale (including 1.0) routes through the resize program — identity
+    resizes are bit-exact (the dense triangle matrix degenerates to the
+    identity at scale 1).
 
-    ``input_norm=(mean, std)`` switches the H2D transfer to RAW uint8 (4x
-    fewer bytes — on tunnel/network-attached accelerators the fp32 batch
-    transfer is the single largest pipeline cost, BENCH.md) and fuses
-    ``(x/255 - mean)/std`` into the device programs.  Normalization is
-    affine and the resize weights sum to 1 per output sample, so
-    device-side normalize-after-resize equals the host's
-    normalize-then-resize to float rounding: convnets agree to ~1e-5;
-    LayerNorm-based patch models (ViT/CLIP-ViT) amplify the ~1-ULP
-    commute difference up to ~1e-3 in descriptor coordinates on
-    random-init weights — descriptor COSINES still agree to 1e-6, i.e.
-    rankings are unaffected (tests/test_device_scales.py pins both).
-    Single-scale ``(1.0,)`` is supported in this mode: the reference's
-    <36px UPSCALE guard routes tiny rows through the resize program with
-    upscale taps.
+    ``input_norm=(mean, std)`` switches the H2D transfer to RAW uint8
+    (4x fewer bytes; the batch transfer is the pipeline's physical floor
+    on tunnel-attached accelerators, BENCH.md) and fuses
+    ``(x/255 - mean)/std`` into the program — applied BEFORE the device
+    resize, the same normalize-then-resize order as the host float path
+    (round 3 resized first; the orders agree to ~1-ULP since the map is
+    affine and weights sum to 1, but matching the host order removes the
+    amplified ~1e-3 LayerNorm deviation previously documented for patch
+    models).  Single-scale ``(1.0,)`` is supported: the reference's
+    <36px UPSCALE guard routes tiny rows through a resize variant whose
+    bucket is keyed by the UPSCALED shape (so the static output pad
+    always fits), while batches with no tiny rows use a direct variant
+    with no resize einsums.
     """
 
     def __init__(self, extract_fn, bucket: int, batch_size: int, scales,
-                 extent_multiple: int = 1, mesh=None, pipeline_depth: int = 2,
-                 input_norm=None):
-        if input_norm is not None:
-            prep = fused_input_norm(input_norm)  # ops/norm.py — the ONE
-            base_fn = extract_fn                 # fused-stage definition
-
-            def extract_fn(x, valid_hw):  # noqa: F811 — normalized wrapper
-                return base_fn(prep(x), valid_hw)
-
+                 extent_multiple: int = 1, mesh=None, max_inflight: int = 16,
+                 block_cap: int = 8192, input_norm=None,
+                 trace: dict | None = None, antialias: bool = True):
         super().__init__(extract_fn, bucket, batch_size, mesh=mesh,
-                         pipeline_depth=pipeline_depth)
+                         max_inflight=max_inflight, block_cap=block_cap,
+                         trace=trace)
+        self.antialias = antialias
+        self.prep = None
         if input_norm is not None:
+            self.prep = fused_input_norm(input_norm)
             self.in_dtype = np.uint8
         self.scales = tuple(scales)
         self.single = self.scales == (1.0,)
+        self.multi = not self.single
         self.multiple = max(1, int(extent_multiple))
-        scaled = _scaled_extract_factory(extract_fn)
-        if mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec
 
-            self.jitted_scaled = jax.jit(
-                scaled, out_shardings=NamedSharding(mesh, PartitionSpec())
-            )
-        else:
-            self.jitted_scaled = jax.jit(scaled)
+    def _key_and_task(self, owner: int, img: np.ndarray):
+        q = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
+        vh, vw = img.shape[:2]
+        if not self.single:
+            return (q(vh), q(vw), "ms"), (owner, img, None)
+        # single-scale: apply the reference upscale guard NOW so the
+        # bucket is keyed by the post-resize shape (static output pad)
+        nh, nw = vh, vw
+        if vh < _MIN_SIDE or vw < _MIN_SIDE:
+            f = max(_UPSCALE_TARGET / vh, _UPSCALE_TARGET / vw)
+            nh, nw = int(round(vh * f)), int(round(vw * f))
+        if self.multiple > 1:
+            nh, nw = _snap(nh, self.multiple), _snap(nw, self.multiple)
+        if (nh, nw) == (vh, vw):
+            return (q(vh), q(vw), "direct"), (owner, img, None)
+        return (q(max(vh, nh)), q(max(vw, nw)), "resize"), \
+            (owner, img, (nh, nw))
 
-    def _dispatch(self, key: tuple[int, int], chunk) -> None:
-        batch, extents = self._assemble(key, chunk)
-        dev_batch = self.put(batch)
-        for s in self.scales:
-            self._dispatch_scale(dev_batch, key, chunk, extents, s)
+    def _meta_width(self) -> int:
+        return 3 + 3 * len(self.scales)
 
-    def _dispatch_scale(self, dev_batch, key, chunk, extents, s: float):
-        bh, bw = key
-        B = self.batch_size
+    def _fill_meta(self, meta: np.ndarray, r: int, task) -> None:
+        owner, img, single_out = task
+        vh, vw = img.shape[:2]
+        meta[r, 0:2] = (vh, vw)
+        meta[r, 2] = owner - self.block_base
         mult = self.multiple
-        outs = np.zeros((B, 2), np.int64)
-        valid = np.zeros((B,), bool)
-        any_resize = False
-        for r in range(len(chunk)):
-            vh, vw = int(extents[r, 0]), int(extents[r, 1])
+        for si, s in enumerate(self.scales):
             if self.single:
-                # reference single-scale guard (helpfunc.py:22-29):
-                # upscale tiny images so the min side reaches ~64px
-                nh, nw = vh, vw
-                if vh < _MIN_SIDE or vw < _MIN_SIDE:
-                    f = max(_UPSCALE_TARGET / vh, _UPSCALE_TARGET / vw)
-                    nh, nw = int(round(vh * f)), int(round(vw * f))
+                nh, nw = single_out if single_out is not None else (vh, vw)
+                ok = 1
             else:
                 nh, nw = int(math.floor(vh * s)), int(math.floor(vw * s))
-                if nh < _MIN_SIDE or nw < _MIN_SIDE:
-                    continue  # reference guard: skip this scale/image
-            if mult > 1:
-                nh, nw = _snap(nh, mult), _snap(nw, mult)
-            outs[r] = (nh, nw)
-            valid[r] = True
-            any_resize |= (nh, nw) != (vh, vw)
-        if not valid.any():
-            return
-        pairs = [(r, owner) for r, (owner, _) in enumerate(chunk) if valid[r]]
-        if not any_resize:
-            # every valid row keeps its native extents: reuse the plain
-            # masked program on the already-transferred batch
-            vecs = self.jitted(dev_batch, self.put(extents))
-            self._enqueue(pairs, vecs)
-            return
-        # static padded output shape for this (bucket, scale) program;
-        # nearest-multiple snapping can round up by mult//2 past
-        # floor(bh*s), hence the margin before bucket-quantizing.  Tiny-
-        # row upscales (single-scale guard) can exceed the static bound —
-        # rare, so the shape grows with the batch max instead.
+                ok = int(nh >= _MIN_SIDE and nw >= _MIN_SIDE)
+                if ok and mult > 1:
+                    nh, nw = _snap(nh, mult), _snap(nw, mult)
+            meta[r, 3 + 3 * si: 5 + 3 * si] = (nh, nw) if ok else (vh, vw)
+            meta[r, 5 + 3 * si] = ok
+
+    def _assemble(self, key: tuple, chunk):
+        batch, meta = super()._assemble(key, chunk)
+        # padding rows: full-extent scale feeds, every scale invalid ->
+        # trash row
+        for si in range(len(self.scales)):
+            meta[len(chunk):, 3 + 3 * si] = key[0]
+            meta[len(chunk):, 4 + 3 * si] = key[1]
+            meta[len(chunk):, 5 + 3 * si] = 0
+        return batch, meta
+
+    def _build_update(self, key: tuple):
+        bh, bw, variant = key
+        cap = self.block_cap
+        extract = self.extract_fn
+        prep = self.prep
+        scales = self.scales
+        mult = self.multiple
+        hp = jax.lax.Precision.HIGHEST
         qb = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
         margin = mult // 2 if mult > 1 else 0
-        ohp = qb(max(int(math.floor(bh * s)) + margin, int(outs[:, 0].max())))
-        owp = qb(max(int(math.floor(bw * s)) + margin, int(outs[:, 1].max())))
-        ri, rw = _tap_batch(extents[:, 0], outs[:, 0], valid, ohp)
-        ci, cw = _tap_batch(extents[:, 1], outs[:, 1], valid, owp)
-        # invalid/padding rows get full-extent feeds; their outputs are
-        # dropped (pairs excludes them), the extents only keep the masked
-        # model's valid_hw arithmetic in-range
-        feed = np.where(valid[:, None], outs, (ohp, owp)).astype(np.int32)
-        vecs = self.jitted_scaled(dev_batch, self.put(ri), self.put(rw),
-                                  self.put(ci), self.put(cw),
-                                  self.put(feed))
-        self._enqueue(pairs, vecs)
+        if variant in ("direct", "resize"):      # single-scale variants
+            pads = [(bh, bw)]
+            direct = [variant == "direct"]
+        else:                                    # "ms": combined program
+            pads = [
+                (bh, bw) if s >= 1.0 else
+                (qb(int(math.floor(bh * s)) + margin),
+                 qb(int(math.floor(bw * s)) + margin))
+                for s in scales
+            ]
+            direct = [s == 1.0 and mult == 1 for s in scales]
+
+        def update(acc, kept, batch, meta):
+            x0 = prep(batch) if prep is not None else batch
+            vh, vw, owner = meta[:, 0], meta[:, 1], meta[:, 2]
+            vhw = jnp.stack([vh, vw], axis=1)
+            for si in range(len(scales)):
+                oh = meta[:, 3 + 3 * si]
+                ow = meta[:, 4 + 3 * si]
+                ok = meta[:, 5 + 3 * si]
+                if direct[si]:
+                    vecs = extract(x0, vhw)
+                else:
+                    ohp, owp = pads[si]
+                    wh = _dense_resize_weights(vh, oh, bh, ohp,
+                                               antialias=self.antialias)
+                    xs = jnp.einsum("boh,bhwc->bowc", wh,
+                                    x0.astype(jnp.float32), precision=hp)
+                    ww = _dense_resize_weights(vw, ow, bw, owp,
+                                               antialias=self.antialias)
+                    xs = jnp.einsum("bow,bhwc->bhoc", ww, xs, precision=hp)
+                    feed = jnp.stack([jnp.where(ok > 0, oh, ohp),
+                                      jnp.where(ok > 0, ow, owp)], axis=1)
+                    vecs = extract(xs, feed)
+                tgt = jnp.where(ok > 0, owner, cap)
+                acc = acc.at[tgt].add(vecs.astype(jnp.float32))
+                kept = kept.at[tgt].add(1)
+            return acc, kept, kept[cap]
+
+        return self._jit(update)
+
+    def _ensure_buffers(self, key: tuple) -> None:
+        if self.acc is not None or self.outputdim is not None:
+            return super()._ensure_buffers(key)
+        bh, bw = key[0], key[1]
+        spec = jax.ShapeDtypeStruct(
+            (self.batch_size, bh, bw, 3), jnp.float32)
+        ext = jax.ShapeDtypeStruct((self.batch_size, 2), jnp.int32)
+        fn = self.extract_fn
+        if self.prep is not None:
+            u8 = jax.ShapeDtypeStruct(
+                (self.batch_size, bh, bw, 3), jnp.uint8)
+            self.outputdim = int(jax.eval_shape(
+                lambda b, e: fn(self.prep(b), e), u8, ext).shape[-1])
+        else:
+            self.outputdim = int(jax.eval_shape(fn, spec, ext).shape[-1])
+        super()._ensure_buffers(key)
 
 
 def extract_vectors(
@@ -499,9 +689,12 @@ def extract_vectors(
     batch_size: int = 8,
     mesh=None,
     extent_multiple: int = 1,
-    pipeline_depth: int = 2,
+    pipeline_depth: int = 16,
     device_scales: bool = False,
     input_norm=None,
+    block_cap: int = 8192,
+    trace: dict | None = None,
+    antialias: bool = True,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -533,9 +726,11 @@ def extract_vectors(
         ``valid_hw // patch`` inside the model is exact; the bucket
         quantum is rounded up to a multiple as well.  Bucketed mode only.
       pipeline_depth: how many dispatched device batches may be in
-        flight before the host blocks on a readback (bucketed mode).
-        The default of 2 overlaps host decode/resize of upcoming images
-        with device compute; 0 restores fully synchronous behavior.
+        flight before the host blocks on the OLDEST dispatch's
+        completion ticket (bucketed mode).  Descriptors accumulate on
+        device, so this bounds host/device memory pinned by queued
+        batches — not a readback cadence; raise it on high-latency
+        (tunnel/network) device attachments.
       device_scales: multi-scale bucketed mode only — transfer each
         image once at native resolution and resize ON DEVICE via exact
         per-image tap tables (``_DeviceScaleStream``) instead of
@@ -547,6 +742,18 @@ def extract_vectors(
         device programs fuse ``(x/255 - mean)/std``.  Cuts H2D bytes 4x
         on top of device_scales (single-scale ``(1.0,)`` is supported in
         this mode too).
+      block_cap: device accumulator block size (images per readback);
+        descriptors scatter-add into a ``[block_cap+1, D]`` fp32 device
+        buffer and read back once per block.
+      trace: optional dict filled with per-stage wall-clock seconds
+        (host_prep_s / assemble_s / h2d_call_s / dispatch_call_s /
+        backpressure_wait_s / finalize_s) plus h2d_bytes and dispatch
+        counts — the pipeline stage table in BENCH.md comes from this.
+      antialias: True (default) = antialiased triangle-kernel downscale
+        (jax.image.resize semantics — the better resampler); False =
+        the reference's plain 2-tap bilinear
+        (``F.interpolate(mode="bilinear")``, utils/helpfunc.py:30-46),
+        for byte-level parity runs against torch goldens.
 
     Returns:
       [N, D] numpy array of descriptors in input order.
@@ -560,7 +767,8 @@ def extract_vectors(
         if not imgs:
             return np.zeros((0, outputdim or 0), dtype=np.float32)
         return _extract_exact_shapes(
-            extract_fn, imgs, scales, print_freq=print_freq
+            extract_fn, imgs, scales, print_freq=print_freq,
+            antialias=antialias,
         )
     if extent_multiple > 1:
         bucket = -(-bucket // extent_multiple) * extent_multiple
@@ -570,10 +778,11 @@ def extract_vectors(
     # data.eval_loader.ImageFromList — decode happens per-item here).
     multi = not (len(scales) == 1 and scales[0] == 1.0)
     if device_scales and (multi or input_norm is not None):
-        stream = _DeviceScaleStream(
+        stream = _DeviceScaleAccumStream(
             extract_fn, bucket, batch_size, scales,
             extent_multiple=extent_multiple, mesh=mesh,
-            pipeline_depth=pipeline_depth, input_norm=input_norm,
+            max_inflight=pipeline_depth, block_cap=block_cap,
+            input_norm=input_norm, trace=trace, antialias=antialias,
         )
 
         def expand(i, img):  # scales resolve on device — but fail FAST
@@ -590,12 +799,18 @@ def extract_vectors(
                 )
             return [(i, img)]
     else:
-        stream = _BucketStream(extract_fn, bucket, batch_size, mesh=mesh,
-                               pipeline_depth=pipeline_depth)
+        stream = _AccumStream(extract_fn, bucket, batch_size, mesh=mesh,
+                              max_inflight=pipeline_depth,
+                              block_cap=block_cap, trace=trace)
+        stream.multi = multi
         expand = lambda i, img: _scale_tasks(i, img, scales,
-                                             multiple=extent_multiple)
+                                             multiple=extent_multiple,
+                                             antialias=antialias)
     in_dtype = stream.in_dtype
+    tr = stream.trace
+    tr.setdefault("host_prep_s", 0.0)
     n = 0
+    t_prev = time.perf_counter()
     for i, img in enumerate(images):
         img = np.asarray(img)
         if in_dtype == np.uint8 and img.dtype != np.uint8:
@@ -604,45 +819,25 @@ def extract_vectors(
                 f"{img.dtype} for image {i}); use e.g. "
                 "ImageFromList(raw_uint8=True)"
             )
-        for owner, task in expand(i, img.astype(in_dtype, copy=False)):
+        tasks = expand(i, img.astype(in_dtype, copy=False))
+        t_now = time.perf_counter()
+        tr["host_prep_s"] += t_now - t_prev  # decode + host resize time
+        for owner, task in tasks:
             stream.add(owner, task)
         n = i + 1
         if print_freq and (n % print_freq == 0):
             print(f"\r>>>> {n}/? dispatched...", end="")
+        t_prev = time.perf_counter()
     if print_freq:
         print("")
     if n == 0:
         return np.zeros((0, outputdim or 0), dtype=np.float32)
-
-    results = stream.finish()
-
-    single = len(scales) == 1 and scales[0] == 1.0
-    if single:
-        out: list[np.ndarray | None] = [None] * n
-        for owner, vec in results:
-            out[owner] = vec
-        return np.stack(out)  # type: ignore[arg-type]
-
-    if not results:  # device_scales path: every scale of every image skipped
-        raise ValueError(
-            f"All scales {scales} shrink every image below {_MIN_SIDE}px"
-        )
-    acc = np.zeros((n, results[0][1].shape[-1]), np.float32)
-    kept = np.zeros((n,), np.int32)
-    for owner, vec in results:
-        acc[owner] += vec
-        kept[owner] += 1
-    if (kept == 0).any():  # device_scales path: guard surfaces here
-        bad = int(np.argmax(kept == 0))
-        raise ValueError(
-            f"All scales {scales} shrink image {bad} below {_MIN_SIDE}px"
-        )
-    acc /= kept[:, None]
-    return np.asarray(l2_normalize(jnp.asarray(acc)))
+    return stream.finish()
 
 
 def _extract_exact_shapes(
-    extract_fn, imgs: list[np.ndarray], scales, print_freq: int = 0
+    extract_fn, imgs: list[np.ndarray], scales, print_freq: int = 0,
+    antialias: bool = True,
 ) -> np.ndarray:
     """Exact-shape grouping (no masking): one compile per distinct
     (resolution, scale).  For models without masked extraction support."""
@@ -657,7 +852,8 @@ def _extract_exact_shapes(
     for (h, w), items in buckets.items():
         idxs = [i for i, _ in items]
         batch = jnp.asarray(np.stack([im for _, im in items]), jnp.float32)
-        vecs = np.asarray(multiscale_descriptor(jitted, batch, scales))
+        vecs = np.asarray(multiscale_descriptor(jitted, batch, scales,
+                                                antialias=antialias))
         for k, i in enumerate(idxs):
             out[i] = vecs[k]
         done += len(items)

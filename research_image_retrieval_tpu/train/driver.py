@@ -137,14 +137,14 @@ def build_datasets(cfg: TrainConfig):
             val_transform=EvalTransform(cfg.imsize, raw_uint8=raw),
         )
     # synthetic fallback: deterministic procedural classes
-    n_cls = 16
+    n_cls = cfg.synthetic_classes
     train = SyntheticRetrievalDataset(
-        num_classes=n_cls, samples_per_class=16, image_size=cfg.imsize,
-        seed=cfg.seed,
+        num_classes=n_cls, samples_per_class=cfg.synthetic_samples,
+        image_size=cfg.imsize, seed=cfg.seed,
     )
     val = SyntheticRetrievalDataset(
-        num_classes=n_cls, samples_per_class=4, image_size=cfg.imsize,
-        seed=cfg.seed + 1,
+        num_classes=n_cls, samples_per_class=cfg.synthetic_val_samples,
+        image_size=cfg.imsize, seed=cfg.seed + 1,
     )
     return train, val, n_cls
 

@@ -35,6 +35,12 @@ class TrainConfig:
     # uint8 space like the reference's PIL stack.  Disable for the BGR
     # (Caffe) path or to reproduce the float host pipeline exactly.
     raw_input: bool = True
+    # synthetic-fallback dataset shape (used when no data_root is set;
+    # the reference's rigorous harness trains 50 classes / 2000 samples
+    # at 224px, manus/8_6and7 rigorous_training.py:34-70)
+    synthetic_classes: int = 16
+    synthetic_samples: int = 16  # train samples per class
+    synthetic_val_samples: int = 4  # val samples per class
 
     # optimization (reference defaults: spca_train/config)
     optimizer: str = "sgd"  # or "adamw", "adamw_then_sgd" (ULTRON)
