@@ -1,0 +1,193 @@
+"""Converged-quality benchmark on the rigorous synthetic harness.
+
+Trains a model to convergence on the procedural synthetic retrieval
+task shaped like the reference's rigorous harness — 50 classes, 224px,
+~1500 train / 500 test samples, Adam(W) lr 1e-3 wd 1e-4 + cosine,
+20 epochs (reference: manus/8_6and7_training_and_eval/
+rigorous_training.py:34-70,272-506) — then evaluates retrieval quality
+with BOTH protocols:
+
+* the reference's protocol-exact leave-one-out metrics
+  (rigorous_evaluation.py:124-173): every test sample queries the full
+  test set, relevance = same class, SELF INCLUDED in the ranking with
+  relevance 0 (the reference's own quirk — it is why the reference
+  reports P@1 = 0.0; reproduced here for apples-to-apples comparison),
+* the Revisited protocol (evaluation/revisited.py) with easy = same
+  class and junk = {self}, i.e. the corrected self-excluded ranking.
+
+Reference converged numbers to beat
+(rigorous_evaluation_results.json:18-24, AdaptiveHybrid on CPU):
+  test acc 98.0% | mAP 0.7857 | P@5 0.80 | P@10 0.90
+
+Usage:  python examples/rigorous_synthetic.py [model ...]
+        (default: gem_r50 adaptive_hybrid_r50)
+Writes benchmarks/rigorous_synthetic_<model>.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+_env = lambda k, d: int(os.environ.get(k, d))
+NUM_CLASSES = _env("RIG_CLASSES", 50)
+TEST_PER_CLASS = _env("RIG_TEST_PER_CLASS", 10)   # 500 test, like the ref
+TRAIN_PER_CLASS = _env("RIG_TRAIN_PER_CLASS", 30)  # ~1500 train samples
+IMSIZE = _env("RIG_IMSIZE", 224)
+EPOCHS = _env("RIG_EPOCHS", 20)
+BATCH = _env("RIG_BATCH", 32)
+REFERENCE = {"test_accuracy": 98.0, "mAP": 0.7857, "P@1": 0.0,
+             "P@5": 0.80, "P@10": 0.90}
+
+
+def reference_protocol_metrics(feats: np.ndarray, labels: np.ndarray,
+                               top_k=(1, 5, 10)) -> dict:
+    """The reference's leave-one-out metrics, protocol-exact
+    (rigorous_evaluation.py:124-173): self stays IN the ranking with
+    relevance 0."""
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sim = f @ f.T
+    n = len(f)
+    aps, p_at = [], {k: [] for k in top_k}
+    for i in range(n):
+        rel = (labels == labels[i]).astype(np.float64)
+        rel[i] = 0.0
+        order = np.argsort(-sim[i])
+        srel = rel[order]
+        if srel.sum() > 0:
+            cum = np.cumsum(srel)
+            prec = cum / np.arange(1, n + 1)
+            aps.append(float((prec * srel).sum() / srel.sum()))
+        for k in top_k:
+            p_at[k].append(float(srel[:k].sum() / k))
+    return {"mAP": float(np.mean(aps)),
+            **{f"P@{k}": float(np.mean(v)) for k, v in p_at.items()}}
+
+
+def revisited_protocol_metrics(feats: np.ndarray,
+                               labels: np.ndarray) -> dict:
+    """Corrected (self-excluded via junk) Revisited-protocol numbers."""
+    from research_image_retrieval_tpu.evaluation import evaluate_revisited
+
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    sim = f @ f.T
+    ranks = np.argsort(-sim.T, axis=0)  # [gallery, query] per protocol
+    gnd = []
+    for i in range(len(f)):
+        same = np.flatnonzero(labels == labels[i])
+        gnd.append({"easy": same[same != i], "hard": np.array([], int),
+                    "junk": np.array([i])})
+    res = evaluate_revisited(ranks, gnd, dataset="synthetic",
+                             kappas=(1, 5, 10))
+    return {"mAP": res.map_easy / 100.0,
+            **{f"P@{k}": p / 100.0
+               for k, p in zip((1, 5, 10), res.mp_easy)}}
+
+
+def run(model_name: str) -> dict:
+    from research_image_retrieval_tpu.data import SyntheticRetrievalDataset
+    from research_image_retrieval_tpu.models import get_model
+    from research_image_retrieval_tpu.train.driver import train
+    from research_image_retrieval_tpu.utils.config import TrainConfig
+
+    cfg = TrainConfig(
+        model=model_name,
+        model_overrides=dict(outputdim=512),
+        imsize=IMSIZE,
+        batch_size=BATCH,
+        num_workers=2,
+        optimizer="adamw",
+        base_lr=1e-3,
+        final_lr=1e-5,
+        weight_decay=1e-4,
+        warmup_epochs=1,
+        num_epochs=EPOCHS,
+        synthetic_classes=NUM_CLASSES,
+        synthetic_samples=TRAIN_PER_CLASS,
+        synthetic_val_samples=TEST_PER_CLASS,
+        directory=f"/tmp/rigorous_{model_name}",
+        print_freq=50,
+        plot_freq=0,
+        seed=11,
+    )
+    t0 = time.time()
+    state, history = train(cfg)
+    train_s = time.time() - t0
+
+    # ---- test-set features + accuracy through the TRAINED state ----
+    test_ds = SyntheticRetrievalDataset(
+        num_classes=NUM_CLASSES, samples_per_class=TEST_PER_CLASS,
+        image_size=IMSIZE, seed=cfg.seed + 1,
+    )
+    model = get_model(model_name, num_classes=NUM_CLASSES,
+                      **cfg.model_overrides)
+    variables = {"params": state.params}
+    if getattr(state, "batch_stats", None):
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def extract(x):
+        return model.apply(variables, x, method="extract")
+
+    @jax.jit
+    def logits_of(x, labels):
+        _, logits = model.apply(variables, x, labels, train=False)
+        return logits
+
+    feats, correct, labels_all = [], 0, []
+    B = TEST_PER_CLASS  # divides len(test_ds) exactly
+    for i in range(0, len(test_ds), B):
+        imgs = np.stack([test_ds[j][0] for j in range(i, i + B)])
+        labels = np.asarray([test_ds[j][1] for j in range(i, i + B)])
+        # the synthetic set yields [0,1] floats and the train driver
+        # consumes them as-is (input_norm only engages for uint8
+        # datasets) — feed extraction the SAME distribution
+        x = jnp.asarray(imgs, jnp.float32)
+        feats.append(np.asarray(extract(x)))
+        lg = np.asarray(logits_of(x, jnp.asarray(labels)))
+        correct += int((lg.argmax(-1) == labels).sum())
+        labels_all.append(labels)
+    feats = np.concatenate(feats)
+    labels_all = np.concatenate(labels_all)
+    acc = 100.0 * correct / len(test_ds)
+
+    ref_metrics = reference_protocol_metrics(feats, labels_all)
+    rev_metrics = revisited_protocol_metrics(feats, labels_all)
+    out = {
+        "model": model_name,
+        "config": {"num_classes": NUM_CLASSES, "imsize": IMSIZE,
+                   "train_per_class": TRAIN_PER_CLASS,
+                   "test_samples": len(test_ds), "epochs": EPOCHS,
+                   "optimizer": "adamw", "lr": 1e-3},
+        "train_seconds": round(train_s, 1),
+        "test_accuracy": round(acc, 2),
+        "reference_protocol": {k: round(v, 4)
+                               for k, v in ref_metrics.items()},
+        "revisited_protocol_self_excluded": {
+            k: round(v, 4) for k, v in rev_metrics.items()},
+        "reference_converged_numbers": REFERENCE,
+    }
+    os.makedirs(os.path.join(ROOT, "benchmarks"), exist_ok=True)
+    path = os.path.join(ROOT, "benchmarks",
+                        f"rigorous_synthetic_{model_name}.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out, indent=1))
+    print(f"wrote {path}")
+    return out
+
+
+if __name__ == "__main__":
+    models = sys.argv[1:] or ["gem_r50", "adaptive_hybrid_r50"]
+    for m in models:
+        run(m)

@@ -47,7 +47,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from research_image_retrieval_tpu.ops import fused_input_norm, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    dense_resize_weights,
+    fused_input_norm,
+    l2_normalize,
+)
 
 __all__ = [
     "multiscale_descriptor",
@@ -247,34 +251,12 @@ def _scale_tasks(
     return tasks
 
 
-def _dense_resize_weights(in_sz, out_sz, in_pad: int, out_pad: int,
-                          antialias: bool = True):
-    """In-graph [B, out_pad, in_pad] separable triangle-kernel resize
-    weights (bilinear, antialias, half-pixel centers) from per-image
-    int32 extents.
-
-    Same math as ``_resize_taps`` with the zeros kept: weights are
-    masked to each image's valid input extent (``h < in_sz`` — padding
-    never bleeds in) and normalized per output sample; output rows
-    beyond ``out_sz`` carry zero weight.  Built ON DEVICE so a resize
-    dispatch transfers no tap tables — on tunnel-attached accelerators
-    per-put latency made the round-3 host-built tables a measurable
-    pipeline cost (BENCH.md stage table).
-    """
-    f32 = jnp.float32
-    o = jnp.arange(out_pad, dtype=f32)[None, :]               # [1, op]
-    h = jnp.arange(in_pad, dtype=f32)[None, None, :]          # [1, 1, ip]
-    in_f = in_sz.astype(f32)[:, None]                         # [B, 1]
-    out_f = out_sz.astype(f32)[:, None]
-    inv = in_f / jnp.maximum(out_f, 1.0)
-    ks = jnp.maximum(inv, 1.0) if antialias else jnp.ones_like(inv)
-    sample = (o + 0.5) * inv - 0.5                            # [B, op]
-    x = jnp.abs(sample[:, :, None] - h) / ks[:, :, None]
-    w = jnp.maximum(0.0, 1.0 - x)                             # triangle
-    w = jnp.where(h < in_f[:, :, None], w, 0.0)
-    w = jnp.where((o < out_f)[:, :, None], w, 0.0)
-    tot = w.sum(axis=2, keepdims=True)
-    return jnp.where(jnp.abs(tot) > 1e-7, w / tot, 0.0)
+# In-graph [B, out_pad, in_pad] triangle-kernel resize weights from
+# per-image int32 extents (same math as _resize_taps with the zeros
+# kept).  Built ON DEVICE so a resize dispatch transfers no tap tables —
+# on tunnel-attached accelerators per-put latency made the round-3
+# host-built tables a measurable pipeline cost (BENCH.md stage table).
+_dense_resize_weights = dense_resize_weights
 
 
 class _AccumStream:

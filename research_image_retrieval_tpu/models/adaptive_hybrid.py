@@ -19,9 +19,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import gem_pool, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    dense_resize_weights,
+    gem_pool,
+    hw_mask,
+    l2_normalize,
+)
 
 __all__ = ["AdaptiveHybridModel", "QAFF", "contrastive_loss"]
 
@@ -93,34 +98,78 @@ class AdaptiveHybridModel(nn.Module):
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
     @nn.compact_name_scope
-    def descriptors(self, x, train: bool = False):
-        """(sc_gem, regional_gem, scale_gem) — each [B, outputdim]."""
-        fmap = self.backbone(x, train=train)
+    def descriptors(self, x, train: bool = False, valid_hw=None):
+        """(sc_gem, regional_gem, scale_gem) — each [B, outputdim].
+
+        With ``valid_hw`` ([B, 2] pixel extents, masked bucketed
+        extraction) every branch pools only each image's valid stage-5
+        region: the 2x2 regional grid splits at the PER-IMAGE half
+        extents and the Scale-GeM half resize runs through per-image
+        ``dense_resize_weights`` (the same triangle kernel as
+        ``jax.image.resize``), so padded output equals the exact-shape
+        run (tests/test_masked_extract.py)."""
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
         B, H, W, C = fmap.shape
 
+        if valid_hw is None:
+            vh = jnp.full((B,), H, jnp.int32)
+            vw = jnp.full((B,), W, jnp.int32)
+            mask = None
+        else:
+            ext = stage_extents(valid_hw, 5)
+            vh, vw = ext[:, 0], ext[:, 1]
+            mask = hw_mask(H, W, ext)
+
         # SC-GeM: global GeM gated by a learned token
-        g = gem_pool(fmap, p=self.p)
+        g = gem_pool(fmap, p=self.p, valid_hw=mask)
         gate = nn.relu(nn.Dense(C // 2, name="token_learner_fc1")(g))
         gate = jax.nn.sigmoid(nn.Dense(C, name="token_learner_fc2")(gate))
         sc = self.proj_sc(g * gate)
 
-        # Regional-GeM: 2x2 grid
-        h2, w2 = max(H // 2, 1), max(W // 2, 1)
-        regions = [
-            gem_pool(fmap[:, :h2, :w2], p=self.p),
-            gem_pool(fmap[:, :h2, w2:], p=self.p) if W > 1 else gem_pool(fmap[:, :h2, :w2], p=self.p),
-            gem_pool(fmap[:, h2:, :w2], p=self.p) if H > 1 else gem_pool(fmap[:, :h2, :w2], p=self.p),
-            gem_pool(fmap[:, h2:, w2:], p=self.p) if H > 1 and W > 1 else gem_pool(fmap[:, :h2, :w2], p=self.p),
-        ]
+        # Regional-GeM: 2x2 grid over each image's valid extent
+        # (reference slices fmap[:, :H//2, :W//2] etc., degenerate rows/
+        # cols falling back to the top-left region — replicated per image
+        # via quadrant masks)
+        h2 = jnp.maximum(vh // 2, 1)[:, None, None]            # [B,1,1]
+        w2 = jnp.maximum(vw // 2, 1)[:, None, None]
+        rows = jnp.arange(H)[None, :, None]
+        cols = jnp.arange(W)[None, None, :]
+        in_h = rows < vh[:, None, None]
+        in_w = cols < vw[:, None, None]
+        m_tl = (rows < h2) & (cols < w2)
+        m_tr = (rows < h2) & (cols >= w2) & in_w
+        m_bl = (rows >= h2) & in_h & (cols < w2)
+        m_br = (rows >= h2) & in_h & (cols >= w2) & in_w
+        # degenerate extents (vw<=1 / vh<=1): the reference's static
+        # guards reuse the top-left region
+        use_tl_w = (vw[:, None, None] <= 1)
+        use_tl_h = (vh[:, None, None] <= 1)
+        m_tr = jnp.where(use_tl_w, m_tl, m_tr)
+        m_bl = jnp.where(use_tl_h, m_tl, m_bl)
+        m_br = jnp.where(use_tl_h | use_tl_w, m_tl, m_br)
+        regions = [gem_pool(fmap, p=self.p, valid_hw=m)
+                   for m in (m_tl, m_tr, m_bl, m_br)]
         regional = self.proj_regional(jnp.concatenate(regions, axis=-1))
 
         # Scale-GeM: full + half scale
-        half = jax.image.resize(
-            fmap, (B, max(H // 2, 1), max(W // 2, 1), C), "bilinear"
-        )
+        Hh, Wh = max(H // 2, 1), max(W // 2, 1)
+        if valid_hw is None:
+            half = jax.image.resize(fmap, (B, Hh, Wh, C), "bilinear")
+            half_mask = None
+        else:
+            oh = jnp.maximum(vh // 2, 1)
+            ow = jnp.maximum(vw // 2, 1)
+            wr = dense_resize_weights(vh, oh, H, Hh)           # [B, Hh, H]
+            half = jnp.einsum("boh,bhwc->bowc", wr,
+                              fmap.astype(jnp.float32))
+            wc = dense_resize_weights(vw, ow, W, Wh)           # [B, Wh, W]
+            half = jnp.einsum("bow,bhwc->bhoc", wc, half)
+            half_mask = hw_mask(Hh, Wh, jnp.stack([oh, ow], axis=1))
         scale = self.proj_scale(
-            jnp.concatenate([gem_pool(fmap, p=self.p), gem_pool(half, p=self.p)],
-                            axis=-1)
+            jnp.concatenate(
+                [gem_pool(fmap, p=self.p, valid_hw=mask),
+                 gem_pool(half, p=self.p, valid_hw=half_mask)],
+                axis=-1)
         )
         return sc, regional, scale
 
@@ -138,13 +187,10 @@ class AdaptiveHybridModel(nn.Module):
 
     def extract(self, x, valid_hw=None):
         """Equal-weight fused descriptor (the query-side fusion rule,
-        reference: ...complete.py:415-421)."""
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        sc, regional, scale = self.descriptors(x, train=False)
+        reference: ...complete.py:415-421).  Supports masked bucketed
+        extraction (``valid_hw`` [B, 2] pixel extents)."""
+        sc, regional, scale = self.descriptors(x, train=False,
+                                               valid_hw=valid_hw)
         return l2_normalize((sc + regional + scale) / 3.0)
 
 

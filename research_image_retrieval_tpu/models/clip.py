@@ -145,10 +145,10 @@ class CLIP(nn.Module):
             "logit_scale", lambda _: jnp.asarray(np.log(1 / 0.07), jnp.float32)
         )
 
-    def image_features(self, images):
+    def image_features(self, images, valid_hw=None):
         if self.visual_proj is None:
-            return self.visual(images, train=False)
-        cls, _ = self.visual(images, train=False)
+            return self.visual(images, train=False, valid_hw=valid_hw)
+        cls, _ = self.visual(images, train=False, valid_hw=valid_hw)
         return self.visual_proj(cls)
 
     def text_features(self, token_ids):
@@ -162,13 +162,14 @@ class CLIP(nn.Module):
         return loss, (im, tx)
 
     def extract(self, images, valid_hw=None):
-        """Retrieval-facing descriptor (L2-normalized image embedding)."""
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        return l2_normalize(self.image_features(images))
+        """Retrieval-facing descriptor (L2-normalized image embedding).
+
+        ``valid_hw``: [B, 2] TRUE extents for masked bucketed
+        extraction — patch-multiples for ViT towers (see
+        VisionTransformer contract), any extent for the ModifiedResNet
+        tower (per-image pos-embed interpolation + masked attnpool,
+        clip_resnet.AttentionPool2d)."""
+        return l2_normalize(self.image_features(images, valid_hw=valid_hw))
 
 
 class CLIPGlobalModel(nn.Module):
@@ -192,10 +193,10 @@ class CLIPGlobalModel(nn.Module):
 
     @property
     def extent_multiple(self) -> int:
-        """Grid alignment for bucketed masked extraction (ViT towers:
-        patch size).  The ModifiedResNet tower rejects masked extraction
-        outright (the eval driver's probe falls back to exact shapes),
-        so its value is never consulted."""
+        """Grid alignment for bucketed masked extraction: patch size for
+        ViT towers; 1 for the ModifiedResNet tower (its masked path
+        tracks ceil/floor-halving extents like the plain ResNet and
+        interpolates the attnpool pos embedding per image)."""
         if self.variant in CLIP_RESNET_CONFIGS:
             return 1
         return VIT_CONFIGS[self.variant]["patch"]
@@ -225,14 +226,9 @@ class CLIPGlobalModel(nn.Module):
 
     def _descriptor(self, x, train: bool, valid_hw=None):
         if self.visual_proj is None:
-            if valid_hw is not None:
-                raise NotImplementedError(
-                    "masked-bucket extraction is not supported by the "
-                    "ModifiedResNet tower (its attention-pool positional "
-                    "embedding is fixed by the checkpoint grid); batch "
-                    "images of one resolution instead"
-                )
-            return self.visual(x, train=train).astype(jnp.float32)
+            return self.visual(
+                x, train=train, valid_hw=valid_hw
+            ).astype(jnp.float32)
         cls, _ = self.visual(x, train=train, valid_hw=valid_hw)
         return self.visual_proj(cls.astype(jnp.float32))
 

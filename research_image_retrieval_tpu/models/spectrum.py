@@ -30,9 +30,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from research_image_retrieval_tpu.models.backbone import ResNet
+from research_image_retrieval_tpu.models.backbone import ResNet, stage_extents
 from research_image_retrieval_tpu.models.registry import register_model
-from research_image_retrieval_tpu.ops import cross_entropy, gem_pool, l2_normalize
+from research_image_retrieval_tpu.ops import (
+    cross_entropy,
+    gem_pool,
+    hw_mask,
+    l2_normalize,
+)
 
 __all__ = ["SPECTRUMModel", "BatchCASTLE", "PRISM", "BatchNEXUS", "HARMONY"]
 
@@ -177,9 +182,13 @@ class SPECTRUMModel(nn.Module):
         self.harmony = HARMONY(self.outputdim)
         self.classifier = nn.Dense(self.num_classes, name="classifier")
 
-    def _base(self, x, train: bool):
-        fmap = self.backbone(x, train=train)
-        return self.proj(gem_pool(fmap, p=3.0))
+    def _base(self, x, train: bool, valid_hw=None):
+        fmap = self.backbone(x, train=train, valid_hw=valid_hw)
+        mask = None
+        if valid_hw is not None:
+            ext = stage_extents(valid_hw, 5)
+            mask = hw_mask(fmap.shape[1], fmap.shape[2], ext)
+        return self.proj(gem_pool(fmap, p=3.0, valid_hw=mask))
 
     def __call__(self, x, labels, train: bool = True, text=None):
         base = self._base(x, train)
@@ -196,12 +205,13 @@ class SPECTRUMModel(nn.Module):
         return loss + self.consistency_weight * cons, logits
 
     def extract(self, x, valid_hw=None):
-        if valid_hw is not None:
-            raise NotImplementedError(
-                "masked-bucket extraction is not supported by this "
-                "model; batch images of one resolution instead"
-            )
-        base = self._base(x, train=False)
+        """Serving descriptor; supports masked bucketed extraction
+        (``valid_hw`` [B, 2] pixel extents) — the backbone masks its BN/
+        pool windows and GeM pools only the valid stage-5 region, so
+        padded output equals the exact-shape run (tests/
+        test_masked_extract.py).  All post-pool modules are per-image
+        vector ops, unaffected by padding."""
+        base = self._base(x, train=False, valid_hw=valid_hw)
         prism_out = self.prism(base, None)["fused"]
         # slot order must match training ([base, castle, prism, nexus]);
         # the batch modules (castle/nexus) are identity = base at serving

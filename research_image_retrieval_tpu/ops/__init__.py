@@ -11,6 +11,7 @@ from research_image_retrieval_tpu.ops.pooling import (
     max_pool_all,
 )
 from research_image_retrieval_tpu.ops.norm import fused_input_norm, l2_normalize
+from research_image_retrieval_tpu.ops.resize import dense_resize_weights
 from research_image_retrieval_tpu.ops.masking import (
     ceil_half,
     downsample_extents,
@@ -51,6 +52,7 @@ __all__ = [
     "spoc_pool",
     "avg_pool_all",
     "max_pool_all",
+    "dense_resize_weights",
     "fused_input_norm",
     "l2_normalize",
     "ceil_half",
