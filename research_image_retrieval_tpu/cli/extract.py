@@ -70,7 +70,10 @@ def main(argv=None):
 
     import numpy as np
 
-    from research_image_retrieval_tpu.data.eval_loader import ImageFromList
+    from research_image_retrieval_tpu.data.eval_loader import (
+        ImageFromList,
+        PrefetchedImages,
+    )
     from research_image_retrieval_tpu.evaluation.driver import (
         _load_model,
         _make_extract_fn,
@@ -102,8 +105,9 @@ def main(argv=None):
         if not paths:
             raise SystemExit(f"no images under {args.images}")
         names = [os.path.relpath(p, args.images) for p in paths]
-        loader = ImageFromList(paths, imsize=args.imsize or None,
-                               raw_uint8=dev, fast_decode=args.fast_decode)
+        loader = PrefetchedImages(
+            ImageFromList(paths, imsize=args.imsize or None,
+                          raw_uint8=dev, fast_decode=args.fast_decode))
     elif args.records:
         from research_image_retrieval_tpu.data import RecordDataset
         from research_image_retrieval_tpu.data.transforms import (
@@ -138,18 +142,18 @@ def main(argv=None):
         ds = RevisitedDataset(args.dataset, args.data_root)
         if args.queries:
             names = list(ds.qimlist)
-            loader = ImageFromList(
+            loader = PrefetchedImages(ImageFromList(
                 ds.qim_fnames,
                 imsize=args.imsize or None,
                 bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
                 raw_uint8=dev,
                 fast_decode=args.fast_decode,
-            )
+            ))
         else:
             names = list(ds.imlist)
-            loader = ImageFromList(ds.im_fnames, imsize=args.imsize or None,
-                                   raw_uint8=dev,
-                                   fast_decode=args.fast_decode)
+            loader = PrefetchedImages(ImageFromList(
+                ds.im_fnames, imsize=args.imsize or None,
+                raw_uint8=dev, fast_decode=args.fast_decode))
 
     vecs = extract_vectors(extract, loader, scales=scales, bucket=bucket,
                            batch_size=args.batch_size, print_freq=100,

@@ -18,7 +18,10 @@ from research_image_retrieval_tpu.data.transforms import (
     EvalTransform,
     imthumbnail,
 )
-from research_image_retrieval_tpu.data.eval_loader import ImageFromList
+from research_image_retrieval_tpu.data.eval_loader import (
+    ImageFromList,
+    PrefetchedImages,
+)
 from research_image_retrieval_tpu.data.pipeline import ShardedBatchIterator
 from research_image_retrieval_tpu.data.records import (
     RecordDataset,
@@ -41,6 +44,7 @@ __all__ = [
     "EvalTransform",
     "imthumbnail",
     "ImageFromList",
+    "PrefetchedImages",
     "ShardedBatchIterator",
     "RecordDataset",
     "RecordReader",

@@ -21,7 +21,7 @@ from research_image_retrieval_tpu.data.transforms import (
     rgb_to_bgr,
 )
 
-__all__ = ["ImageFromList", "load_image"]
+__all__ = ["ImageFromList", "PrefetchedImages", "load_image"]
 
 
 def load_image(path: str, max_side: int = 0) -> np.ndarray:
@@ -126,3 +126,46 @@ class ImageFromList:
     def __iter__(self):
         for i in range(len(self)):
             yield self[i]
+
+
+class PrefetchedImages:
+    """Decode-ahead wrapper for any indexable image dataset.
+
+    Iterating yields ``dataset[i]`` in order while a small thread pool
+    decodes up to ``depth`` items AHEAD — so JPEG decode of image i+1..
+    overlaps the device compute / transfer of earlier batches inside
+    ``index.extract_vectors`` (the streaming extractor only ever
+    *pulls*; this wrapper is where the overlap comes from).  Decode is
+    GIL-free on both paths (native libjpeg via
+    ``data.native_decode.decode_jpeg`` releases the GIL, as does cv2),
+    so even the 1-core bench rig overlaps decode with the
+    tunnel-transfer waits.  The reference decodes in torch DataLoader
+    worker processes (dataset/configdataset.py:294-302); a thread pool
+    over GIL-free decoders is the equivalent without pickling images
+    across process pipes.
+    """
+
+    def __init__(self, dataset, depth: int = 8, workers: int = 2):
+        self.dataset = dataset
+        self.depth = max(1, int(depth))
+        self.workers = max(1, int(workers))
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def __iter__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(self.dataset)
+        if n == 0:
+            return
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            pending = {
+                i: pool.submit(self.dataset.__getitem__, i)
+                for i in range(min(self.depth, n))
+            }
+            for i in range(n):
+                nxt = i + self.depth
+                if nxt < n:
+                    pending[nxt] = pool.submit(self.dataset.__getitem__, nxt)
+                yield pending.pop(i).result()

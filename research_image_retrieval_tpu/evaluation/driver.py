@@ -18,6 +18,7 @@ import numpy as np
 
 from research_image_retrieval_tpu.data import (
     ImageFromList,
+    PrefetchedImages,
     RevisitedDataset,
     SyntheticRetrievalDataset,
     make_synthetic_gnd,
@@ -128,13 +129,13 @@ def evaluate(cfg: EvalConfig):
         # normalization + scale resizes into the device programs
         dev = cfg.device_scales and bucket is not None
         norm = (IMAGENET_MEAN, IMAGENET_STD) if dev else None
-        db_loader = ImageFromList(ds.im_fnames, imsize=cfg.imsize,
-                                  raw_uint8=dev)
-        q_loader = ImageFromList(
+        db_loader = PrefetchedImages(
+            ImageFromList(ds.im_fnames, imsize=cfg.imsize, raw_uint8=dev))
+        q_loader = PrefetchedImages(ImageFromList(
             ds.qim_fnames, imsize=cfg.imsize,
             bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
             raw_uint8=dev,
-        )
+        ))
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
                                print_freq=100, bucket=bucket,
                                extent_multiple=multiple,

@@ -123,7 +123,7 @@ class SearchService:
 
                 vecs_int8, scales = quantize_gallery_int8(
                     np.asarray(gallery, np.float32))
-            n, d = np.asarray(vecs_int8).shape
+            n, d = np.shape(vecs_int8)  # no host copy for device arrays
             if mesh is not None:
                 from research_image_retrieval_tpu.parallel import (
                     place_sharded_gallery,
@@ -142,7 +142,7 @@ class SearchService:
                     raise ValueError("float engines need a gallery")
                 gallery = (np.asarray(vecs_int8, np.float32)
                            * np.asarray(scales, np.float32)[:, None])
-            n, d = np.asarray(gallery).shape
+            n, d = np.shape(gallery)  # no host copy for device arrays
             if mesh is not None:
                 from research_image_retrieval_tpu.parallel import (
                     place_sharded_gallery,

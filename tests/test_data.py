@@ -207,3 +207,44 @@ class TestPipeline:
         e1 = [lb.tolist() for _, lb in it.epoch_batches()]
         assert it.epoch == 2
         assert e0 != e1
+
+
+class TestPrefetchedImages:
+    """Decode-ahead wrapper: same items, same order, lazy, any depth."""
+
+    def test_matches_direct_iteration(self, tmp_path):
+        import cv2
+
+        from research_image_retrieval_tpu.data import (
+            ImageFromList,
+            PrefetchedImages,
+        )
+
+        rng = np.random.default_rng(0)
+        paths = []
+        for i in range(7):
+            img = (rng.random((40 + i, 50, 3)) * 255).astype(np.uint8)
+            p = str(tmp_path / f"{i}.jpg")
+            cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            paths.append(p)
+        ds = ImageFromList(paths, imsize=32, raw_uint8=True)
+        direct = [np.asarray(x) for x in ds]
+        for depth, workers in [(1, 1), (3, 2), (16, 2)]:
+            pre = PrefetchedImages(ds, depth=depth, workers=workers)
+            assert len(pre) == len(ds)
+            got = [np.asarray(x) for x in pre]
+            assert len(got) == len(direct)
+            for a, b in zip(got, direct):
+                np.testing.assert_array_equal(a, b)
+
+    def test_empty(self):
+        from research_image_retrieval_tpu.data import PrefetchedImages
+
+        class Empty:
+            def __len__(self):
+                return 0
+
+            def __getitem__(self, i):
+                raise IndexError
+
+        assert list(PrefetchedImages(Empty())) == []
