@@ -26,10 +26,15 @@ Writes benchmarks/rigorous_synthetic_<model>.json.
 
 from __future__ import annotations
 
+import faulthandler
 import json
 import os
 import sys
 import time
+
+# long remote compiles on the bench rig look like hangs — dump stacks
+# periodically so a stuck run is diagnosable from the log
+faulthandler.dump_traceback_later(300, repeat=True)
 
 import numpy as np
 
@@ -38,6 +43,12 @@ sys.path.insert(0, ROOT)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+
+from research_image_retrieval_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_cache,
+)
+
+enable_persistent_cache()
 
 _env = lambda k, d: int(os.environ.get(k, d))
 NUM_CLASSES = _env("RIG_CLASSES", 50)
@@ -129,6 +140,14 @@ def run(model_name: str) -> dict:
         print_freq=50,
         plot_freq=0,
         seed=11,
+        # checkpoint only at the end: a full-state snapshot is a ~200 MB
+        # D2H readback, which over the bench rig's remote tunnel costs
+        # more than the epoch it checkpoints
+        save_freq=EPOCHS,
+        # RAW uint8 over the wire + device-fused (x/255-mean)/std — the
+        # same path real datasets take, and 4x fewer bytes through the
+        # slow remote-tunnel H2D on the bench rig
+        synthetic_uint8=True,
     )
     t0 = time.time()
     state, history = train(cfg)
@@ -137,7 +156,7 @@ def run(model_name: str) -> dict:
     # ---- test-set features + accuracy through the TRAINED state ----
     test_ds = SyntheticRetrievalDataset(
         num_classes=NUM_CLASSES, samples_per_class=TEST_PER_CLASS,
-        image_size=IMSIZE, seed=cfg.seed + 1,
+        image_size=IMSIZE, seed=cfg.seed + 1, uint8=True,
     )
     model = get_model(model_name, num_classes=NUM_CLASSES,
                       **cfg.model_overrides)
@@ -145,13 +164,21 @@ def run(model_name: str) -> dict:
     if getattr(state, "batch_stats", None):
         variables["batch_stats"] = state.batch_stats
 
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from research_image_retrieval_tpu.ops import fused_input_norm
+
+    norm = fused_input_norm((IMAGENET_MEAN, IMAGENET_STD))
+
     @jax.jit
     def extract(x):
-        return model.apply(variables, x, method="extract")
+        return model.apply(variables, norm(x), method="extract")
 
     @jax.jit
     def logits_of(x, labels):
-        _, logits = model.apply(variables, x, labels, train=False)
+        _, logits = model.apply(variables, norm(x), labels, train=False)
         return logits
 
     feats, correct, labels_all = [], 0, []
@@ -159,10 +186,10 @@ def run(model_name: str) -> dict:
     for i in range(0, len(test_ds), B):
         imgs = np.stack([test_ds[j][0] for j in range(i, i + B)])
         labels = np.asarray([test_ds[j][1] for j in range(i, i + B)])
-        # the synthetic set yields [0,1] floats and the train driver
-        # consumes them as-is (input_norm only engages for uint8
-        # datasets) — feed extraction the SAME distribution
-        x = jnp.asarray(imgs, jnp.float32)
+        # the dataset yields RAW uint8 and training went through the
+        # driver's fused-norm uint8 path — feed extraction the SAME
+        # fused stage (ops/norm.py, the single definition)
+        x = jnp.asarray(imgs)
         feats.append(np.asarray(extract(x)))
         lg = np.asarray(logits_of(x, jnp.asarray(labels)))
         correct += int((lg.argmax(-1) == labels).sum())

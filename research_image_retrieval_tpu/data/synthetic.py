@@ -26,6 +26,10 @@ class SyntheticRetrievalDataset:
       image_size: square image side.
       noise: per-sample additive noise std (0 disables).
       seed: base seed — the dataset is fully deterministic given it.
+      uint8: yield RAW uint8 pixels (rounded from the float render)
+        instead of float32 [0,1] — opt-in so the train driver's
+        raw-uint8 path (4x fewer H2D bytes, device-fused
+        normalization) can be exercised end-to-end on synthetic data.
 
     Access: ``len(ds)``, ``ds[i] -> (image [H,W,3] float32 in [0,1],
     label int)``, ``ds.images()`` iterator, ``ds.labels`` array.
@@ -38,7 +42,9 @@ class SyntheticRetrievalDataset:
         image_size: int = 64,
         noise: float = 0.08,
         seed: int = 0,
+        uint8: bool = False,
     ):
+        self.uint8 = uint8
         self.num_classes = num_classes
         self.samples_per_class = samples_per_class
         self.image_size = image_size
@@ -89,7 +95,10 @@ class SyntheticRetrievalDataset:
     def __getitem__(self, i: int):
         cls = int(self.labels[i])
         rng = np.random.default_rng(self.seed * 100_003 + i)
-        return self._render(cls, rng), cls
+        img = self._render(cls, rng)
+        if self.uint8:
+            img = np.round(img * 255.0).astype(np.uint8)
+        return img, cls
 
     def images(self):
         for i in range(len(self)):

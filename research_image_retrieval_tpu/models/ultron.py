@@ -363,6 +363,9 @@ class ULTRON(nn.Module):
     gem_alpha: float = 2.0
     use_context_keys: bool = True
     dtype: Any = jnp.float32
+    # run only the first k stages (None = all 4) — truncation hook for
+    # per-stage roofline decomposition (tools/roofline_ultron.py)
+    num_stages: int | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, valid_hw=None):
@@ -413,6 +416,8 @@ class ULTRON(nn.Module):
         for i, (dim, depth, heads) in enumerate(
             zip(self.embed_dims, self.depths, self.num_heads)
         ):
+            if self.num_stages is not None and i >= self.num_stages:
+                break
             if i > 0:
                 y = PatchMerging(out_dim=dim, dtype=self.dtype,
                                  name=f"merge{i}")(y)

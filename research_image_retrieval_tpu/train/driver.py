@@ -138,13 +138,14 @@ def build_datasets(cfg: TrainConfig):
         )
     # synthetic fallback: deterministic procedural classes
     n_cls = cfg.synthetic_classes
+    u8 = bool(getattr(cfg, "synthetic_uint8", False))
     train = SyntheticRetrievalDataset(
         num_classes=n_cls, samples_per_class=cfg.synthetic_samples,
-        image_size=cfg.imsize, seed=cfg.seed,
+        image_size=cfg.imsize, seed=cfg.seed, uint8=u8,
     )
     val = SyntheticRetrievalDataset(
         num_classes=n_cls, samples_per_class=cfg.synthetic_val_samples,
-        image_size=cfg.imsize, seed=cfg.seed + 1,
+        image_size=cfg.imsize, seed=cfg.seed + 1, uint8=u8,
     )
     return train, val, n_cls
 
@@ -316,8 +317,12 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     def snapshot():
         """Checkpoint payload: model/optimizer state + data-iterator state
         + the loop epoch to resume at (exact resume incl. mid-epoch)."""
+        # one bulk device_get (parallel D2H) — tree_map(np.asarray, ...)
+        # fetches leaf-by-leaf, which serializes ~300 round-trips through
+        # the remote tunnel and was measured dominating short epochs
+        host_state = jax.device_get(state)
         return {
-            "state": jax.tree.map(np.asarray, state),
+            "state": jax.tree.map(np.asarray, host_state),
             # 0-d arrays: orbax's standard handler rejects bare numpy scalars
             "it": {
                 k: np.asarray(v, np.int64)

@@ -41,6 +41,10 @@ class TrainConfig:
     synthetic_classes: int = 16
     synthetic_samples: int = 16  # train samples per class
     synthetic_val_samples: int = 4  # val samples per class
+    # yield the synthetic fixture as RAW uint8 so the driver's fused-norm
+    # uint8 path carries it (4x fewer tunnel bytes); off by default to
+    # keep the float [0,1] distribution existing tests pin
+    synthetic_uint8: bool = False
 
     # optimization (reference defaults: spca_train/config)
     optimizer: str = "sgd"  # or "adamw", "adamw_then_sgd" (ULTRON)
