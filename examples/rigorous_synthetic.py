@@ -61,12 +61,17 @@ REFERENCE = {"test_accuracy": 98.0, "mAP": 0.7857, "P@1": 0.0,
              "P@5": 0.80, "P@10": 0.90}
 
 # Per-model optimizer recipes.  The reference's Adam lr=1e-3 is tuned to
-# its small CE-classifier wrappers; an ArcFace(s=32) head on an R50
-# diverges under it (observed: loss 11.9 -> 23 by epoch 5), so GeM gets
-# the framework's reference SGD recipe and AdaptiveHybrid (contrastive
-# + CE, closest to the reference wrapper) a gentler AdamW.
+# its small CE-classifier wrappers; an ArcFace(s=32, m=0.15) head on a
+# SCRATCH R50 is a different optimization problem — under Adam 1e-3 it
+# diverges (observed: loss 11.9 -> 23 by epoch 5) and under SGD 0.01 it
+# crawls (observed: 9.27 -> 8.28 over 5 epochs).  The production margin
+# is tuned for 81k classes with a pretrained trunk; for the 50-class
+# scratch harness GeM gets a softened head (s=16, m=0.05 — the standard
+# small-dataset ArcFace regime) under AdamW, evaluated with the SAME
+# overrides.  ``overrides`` entries merge into model_overrides.
 RECIPES = {
-    "gem_r50": dict(optimizer="sgd", base_lr=0.01, momentum=0.9),
+    "gem_r50": dict(optimizer="adamw", base_lr=1e-3,
+                    overrides=dict(s=16.0, m=0.05)),
     "adaptive_hybrid_r50": dict(optimizer="adamw", base_lr=3e-4),
 }
 
@@ -121,10 +126,12 @@ def run(model_name: str) -> dict:
     from research_image_retrieval_tpu.train.driver import train
     from research_image_retrieval_tpu.utils.config import TrainConfig
 
-    recipe = RECIPES.get(model_name, dict(optimizer="adamw", base_lr=3e-4))
+    recipe = dict(RECIPES.get(model_name,
+                              dict(optimizer="adamw", base_lr=3e-4)))
+    overrides = recipe.pop("overrides", {})
     cfg = TrainConfig(
         model=model_name,
-        model_overrides=dict(outputdim=512),
+        model_overrides=dict(outputdim=512, **overrides),
         imsize=IMSIZE,
         batch_size=BATCH,
         num_workers=2,
@@ -152,6 +159,12 @@ def run(model_name: str) -> dict:
     t0 = time.time()
     state, history = train(cfg)
     train_s = time.time() - t0
+    if len(history["train_loss"]) < EPOCHS:
+        # the driver's preemption guard turns SIGTERM into
+        # checkpoint-and-return — do NOT evaluate (or record) a
+        # partially trained state as a converged result
+        sys.exit(f"{model_name}: preempted after "
+                 f"{len(history['train_loss'])}/{EPOCHS} epochs — aborting")
 
     # ---- test-set features + accuracy through the TRAINED state ----
     test_ds = SyntheticRetrievalDataset(
@@ -205,7 +218,8 @@ def run(model_name: str) -> dict:
         "config": {"num_classes": NUM_CLASSES, "imsize": IMSIZE,
                    "train_per_class": TRAIN_PER_CLASS,
                    "test_samples": len(test_ds), "epochs": EPOCHS,
-                   **recipe},
+                   **recipe,
+                   **({"model_overrides": overrides} if overrides else {})},
         "train_seconds": round(train_s, 1),
         "test_accuracy": round(acc, 2),
         "reference_protocol": {k: round(v, 4)

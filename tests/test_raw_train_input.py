@@ -181,3 +181,37 @@ class TestDriverRawInput:
         finally:
             drv.build_datasets = orig
         assert np.isfinite(hist["train_loss"][0])
+
+
+class TestSyntheticUint8:
+    """synthetic_uint8: the procedural fixture rides the RAW-uint8 path
+    (data/synthetic.py uint8=True -> driver fused-norm auto-detect)."""
+
+    def test_uint8_quantizes_float_render(self):
+        from research_image_retrieval_tpu.data import SyntheticRetrievalDataset
+
+        f = SyntheticRetrievalDataset(num_classes=2, samples_per_class=2,
+                                      image_size=32, seed=7)
+        u = SyntheticRetrievalDataset(num_classes=2, samples_per_class=2,
+                                      image_size=32, seed=7, uint8=True)
+        imf, lf = f[1]
+        imu, lu = u[1]
+        assert lf == lu
+        assert imf.dtype == np.float32 and imu.dtype == np.uint8
+        assert np.allclose(imu.astype(np.float32) / 255.0, imf,
+                           atol=1 / 255.0 + 1e-6)
+
+    def test_driver_detects_uint8_synthetic(self, tmp_path):
+        from research_image_retrieval_tpu.train.driver import train
+        from research_image_retrieval_tpu.utils.config import TrainConfig
+
+        cfg = TrainConfig(
+            model="gem_r50",
+            model_overrides=dict(backbone_name="resnet18", outputdim=16),
+            imsize=32, batch_size=8, num_epochs=1, num_workers=0,
+            synthetic_classes=2, synthetic_samples=4,
+            synthetic_val_samples=2, synthetic_uint8=True,
+            directory=str(tmp_path), save_freq=5, seed=3,
+        )
+        state, hist = train(cfg, max_steps_per_epoch=2)
+        assert np.isfinite(hist["train_loss"][0])

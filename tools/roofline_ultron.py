@@ -54,8 +54,13 @@ from research_image_retrieval_tpu.utils.compile_cache import (  # noqa: E402
 PEAK_FLOPS = 197e12  # v5e bf16
 PEAK_BW = 819e9  # v5e HBM
 
-S_CFG = dict(embed_dims=(64, 128, 320, 512), depths=(3, 5, 9, 5),
-             num_heads=(2, 4, 10, 16))
+CFGS = {
+    "s": dict(embed_dims=(64, 128, 320, 512), depths=(3, 5, 9, 5),
+              num_heads=(2, 4, 10, 16)),
+    # plumbing sanity on CPU: one block per stage
+    "tiny": dict(embed_dims=(16, 32, 48, 64), depths=(1, 1, 1, 1),
+                 num_heads=(2, 2, 2, 4)),
+}
 
 
 def cost_of(jitted, *args):
@@ -134,6 +139,7 @@ def main():
     ap.add_argument("--img", type=int, default=512)
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--classes", type=int, default=81313)
+    ap.add_argument("--cfg", choices=("s", "tiny"), default="s")
     ap.add_argument("--skip-experiments", action="store_true")
     args = ap.parse_args()
 
@@ -147,15 +153,17 @@ def main():
 
     # --- truncation ladder over the bare backbone ---
     rows = []
+    cfg = CFGS[args.cfg]
     for k in range(1, 5):
         model = ULTRON(img_size=args.img, dtype=jnp.bfloat16,
-                       num_stages=k, **S_CFG)
+                       num_stages=k, **cfg)
         step, params = bare_step(model, x)
         rows.append(measure(f"stages<={k} fwd+bwd", step, params, (x,),
                             args.batch))
 
     # --- full model (pooling + MadaCos head) ---
-    model = ULTRONRetrievalModel(num_classes=args.classes, variant="s",
+    model = ULTRONRetrievalModel(num_classes=args.classes,
+                                 variant="s" if args.cfg == "s" else "t",
                                  img_size=args.img, dtype=jnp.bfloat16)
     step, params = full_step(model, x, labels)
     full = measure("full train step", step, params, (x, labels), args.batch)
@@ -176,7 +184,8 @@ def main():
         ("ws=8 (grid-aligned windows)", dict(window_size=8)),
         ("no MCK (use_context_keys=False)", dict(use_context_keys=False)),
     ):
-        model = ULTRONRetrievalModel(num_classes=args.classes, variant="s",
+        model = ULTRONRetrievalModel(num_classes=args.classes,
+                                     variant="s" if args.cfg == "s" else "t",
                                      img_size=args.img, dtype=jnp.bfloat16,
                                      **kw)
         step, params = full_step(model, x, labels)
