@@ -101,32 +101,71 @@ def _extract_1024_ms3(get_model, timed_slope):
     }
 
 
-def _tunnel_h2d(get_model=None):
-    """Measured host->device transfer bandwidth — the PHYSICAL ceiling of
-    any host-fed pipeline on this rig (the real chip hangs off a remote
-    tunnel; a PCIe-attached v5e host moves >8 GB/s and is never the
-    bottleneck).  At the 1024px uint8 ms3 operating point, pipe
-    throughput cannot exceed bandwidth / ~2.36 MB per image."""
+def _tunnel_probe_once(mb: int = 16) -> float:
+    """One H2D bandwidth sample (MB/s): put ``mb`` MB, force completion."""
     import time
 
     dev = jax.devices()[0]
     host = np.random.default_rng(7).integers(
-        0, 256, (16 * 1024 * 1024,), dtype=np.uint8)
+        0, 256, (mb * 1024 * 1024,), dtype=np.uint8)
+    t0 = time.perf_counter()
+    d = jax.device_put(host, dev)
+    np.asarray(jnp.sum(d[:2].astype(jnp.float32)))  # force completion
+    return mb / (time.perf_counter() - t0)
 
-    def once():
-        t0 = time.perf_counter()
-        d = jax.device_put(host, dev)
-        np.asarray(jnp.sum(d[:2].astype(jnp.float32)))  # force completion
-        return 16.0 / (time.perf_counter() - t0)
 
-    once()  # warm the transfer path
-    v = max(once() for _ in range(3))
-    return {
-        "metric": "tunnel_h2d_mb_per_sec",
-        "value": round(v, 1),
-        "unit": "MB/s",
-        "vs_baseline": None,  # rig property, no reference analogue
-    }
+def _staging_probe(n: int = 8, mb: float = 9.0) -> float:
+    """SUSTAINED put-then-consume throughput (MB/s) at the pipe's batch
+    granularity: n sequential device_puts of ~mb MB each, where each put
+    is immediately consumed by a tiny jitted program (like the pipe's
+    dispatch), final sync at the end.  This is the pipe's actual
+    transfer regime — burst max-of-3 probes measure tunnel PEAK, this
+    measures what a streaming pipeline can actually sustain (VERDICT r4
+    weak #1: the two differed by ~9x and only this one predicts pipe
+    throughput)."""
+    import time
+
+    dev = jax.devices()[0]
+    nbytes = int(mb * 1024 * 1024)
+    bufs = [np.random.default_rng(i).integers(0, 256, (nbytes,), np.uint8)
+            for i in range(2)]
+    consume = jax.jit(lambda x: jnp.sum(x[:2].astype(jnp.float32)))
+    # warm
+    np.asarray(consume(jax.device_put(bufs[0], dev)))
+    t0 = time.perf_counter()
+    outs = []
+    for i in range(n):
+        d = jax.device_put(bufs[i % 2], dev)
+        outs.append(consume(d))
+    for o in outs:
+        np.asarray(o)
+    return n * mb / (time.perf_counter() - t0)
+
+
+def _tunnel_h2d(get_model=None):
+    """Measured host->device transfer bandwidth — the PHYSICAL ceiling of
+    any host-fed pipeline on this rig (the real chip hangs off a remote
+    tunnel; a PCIe-attached v5e host moves >8 GB/s and is never the
+    bottleneck).  Reports BOTH the burst peak (max of 3 one-shot puts)
+    and the sustained put-then-consume staging rate; the pipe ceiling is
+    set by the SUSTAINED number."""
+    _tunnel_probe_once()  # warm the transfer path
+    burst = max(_tunnel_probe_once() for _ in range(3))
+    sustained = _staging_probe()
+    return [
+        {
+            "metric": "tunnel_h2d_mb_per_sec",
+            "value": round(burst, 1),
+            "unit": "MB/s",
+            "vs_baseline": None,  # rig property, no reference analogue
+        },
+        {
+            "metric": "tunnel_h2d_sustained_mb_per_sec",
+            "value": round(sustained, 1),
+            "unit": "MB/s",
+            "vs_baseline": None,
+        },
+    ]
 
 
 def _extract_pipe_1024_ms3(get_model):
@@ -170,21 +209,39 @@ def _extract_pipe_1024_ms3(get_model):
     kw = dict(scales=(1.0, 2 ** -0.5, 0.5), bucket=128, batch_size=4,
               device_scales=True, input_norm=norm)
     extract_vectors(masked, imgs[:8], **kw)  # compile + warm the pipeline
+    # interleaved tunnel probes: sample the SUSTAINED staging rate
+    # immediately before and after the measured pipe run, so the pipe's
+    # effective MB/s can be judged against the tunnel's state DURING the
+    # same load window (VERDICT r4 weak #1)
+    sus_before = _staging_probe(n=4)
     trace = {}
     t0 = time.time()
     vecs = extract_vectors(masked, imgs, trace=trace, **kw)
     sec = time.time() - t0
+    sus_after = _staging_probe(n=4)
     assert vecs.shape[0] == n_img
     trace["wall_s"] = round(sec, 3)
     trace["imgs"] = n_img
+    trace["sustained_mb_per_sec_before"] = round(sus_before, 2)
+    trace["sustained_mb_per_sec_after"] = round(sus_after, 2)
+    eff = trace.get("h2d_bytes", 0) / 1e6 / sec
+    trace["pipe_effective_mb_per_sec"] = round(eff, 2)
     print(f"pipe stage trace: {json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in trace.items()})}",
           file=sys.stderr, flush=True)
     v = n_img / sec
+    # ceiling from the window's own sustained tunnel rate
+    window_mb = min(sus_before, sus_after)
+    per_img_mb = trace.get("h2d_bytes", 0) / 1e6 / n_img or 2.36
     out = [{
         "metric": "gem_r50_pipe_extract_imgs_per_sec_1024_ms3",
         "value": round(v, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    }, {
+        "metric": "gem_r50_pipe_pct_of_window_tunnel_ceiling",
+        "value": round(100.0 * v / (window_mb / per_img_mb), 1),
+        "unit": "%",
+        "vs_baseline": None,
     }]
 
     # ---- the same operating point FROM JPEG BYTES ON DISK: native

@@ -159,7 +159,7 @@ def run(model_name: str) -> dict:
     t0 = time.time()
     state, history = train(cfg)
     train_s = time.time() - t0
-    if len(history["train_loss"]) < EPOCHS:
+    if history.get("preempted"):
         # the driver's preemption guard turns SIGTERM into
         # checkpoint-and-return — do NOT evaluate (or record) a
         # partially trained state as a converged result

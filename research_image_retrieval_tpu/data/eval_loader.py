@@ -153,6 +153,12 @@ class PrefetchedImages:
     def __len__(self):
         return len(self.dataset)
 
+    def __getitem__(self, i: int):
+        # Random access (used by the rerank paths, which re-load shortlist
+        # images by gallery id) delegates straight to the wrapped dataset;
+        # only sequential iteration gets the decode-ahead pool.
+        return self.dataset[i]
+
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor
 

@@ -41,6 +41,18 @@ def _declare(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int), ctypes.c_int, ctypes.c_int,
         ctypes.c_int,
     ]
+    pi = ctypes.POINTER(ctypes.c_int)
+    lib.rir_jpeg_coeff_dims.restype = ctypes.c_int
+    lib.rir_jpeg_coeff_dims.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, pi, pi, pi, pi, pi, pi, pi,
+    ]
+    lib.rir_jpeg_coeffs.restype = ctypes.c_int
+    lib.rir_jpeg_coeffs.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p, ctypes.c_void_p,
+        pi, pi, pi, pi, pi, pi, pi,
+    ]
 
 
 _native = NativeLib("rir_decoder.cc", "librir_decoder.so", _declare,
@@ -134,6 +146,80 @@ def decode_jpeg_batch(datas: list[bytes], max_side: int = 0,
         else:
             result.append(outs[i][: hs[i], : ws[i]])
     return result
+
+
+class JpegCoeffs:
+    """Entropy-decoded JPEG: quantized DCT coefficients (top-left k x k
+    of each 8x8 block) + dequant tables + true pixel dims.  The device
+    finishes the decode (dequant + iDCT + chroma upsample + YCbCr->RGB,
+    ops/jpeg_decode.py) — ~(64/k^2)/3 x fewer wire bytes than RGB uint8
+    through a slow host->device link."""
+
+    __slots__ = ("coef_y", "coef_c", "quant_y", "quant_c", "h", "w",
+                 "subsamp", "k")
+
+    def __init__(self, coef_y, coef_c, quant_y, quant_c, h, w, subsamp, k):
+        self.coef_y = coef_y      # [by, bx, k, k] int16
+        self.coef_c = coef_c      # [2, cby, cbx, k, k] int16
+        self.quant_y = quant_y    # [k, k] float32
+        self.quant_c = quant_c    # [k, k] float32
+        self.h = h                # true pixel dims (canvas is by*8 x bx*8)
+        self.w = w
+        self.subsamp = subsamp    # 0 gray, 1 = 4:4:4, 2 = 4:2:0
+        self.k = k
+
+    @property
+    def nbytes(self) -> int:
+        return self.coef_y.nbytes + self.coef_c.nbytes
+
+    @property
+    def shape(self):  # canvas pixel dims, so bucketing code can treat
+        # JpegCoeffs like an image array
+        return (self.coef_y.shape[0] * 8, self.coef_y.shape[1] * 8, 3)
+
+
+def decode_jpeg_coeffs(data: bytes, k: int = 4) -> "JpegCoeffs | None":
+    """Host HALF of the split decode: entropy-decode ``data`` and return
+    truncated quantized DCT coefficients, or None when the native lib is
+    unavailable or the JPEG layout is unsupported (caller falls back to
+    full host decode).  4:2:0, 4:4:4 and grayscale layouts are handled;
+    grayscale returns zero chroma coefficients (neutral color)."""
+    lib = _load()
+    if lib is None:
+        return None
+    i = ctypes.c_int
+    h, w, by, bx, cby, cbx, ss = i(), i(), i(), i(), i(), i(), i()
+    rc = lib.rir_jpeg_coeff_dims(
+        data, len(data), ctypes.byref(h), ctypes.byref(w), ctypes.byref(by),
+        ctypes.byref(bx), ctypes.byref(cby), ctypes.byref(cbx),
+        ctypes.byref(ss))
+    if rc != 0:
+        return None
+    coef_y = np.empty((by.value, bx.value, k, k), np.int16)
+    n_c = (1, cby.value, cbx.value) if ss.value else (0, 0, 0)
+    coef_c = np.zeros((2, max(n_c[1], 1), max(n_c[2], 1), k, k), np.int16)
+    quant_y = np.empty((k, k), np.float32)
+    quant_c = np.ones((k, k), np.float32)
+    rc = lib.rir_jpeg_coeffs(
+        data, len(data), k,
+        coef_y.ctypes.data_as(ctypes.c_void_p), coef_y.nbytes,
+        coef_c.ctypes.data_as(ctypes.c_void_p), coef_c.nbytes,
+        quant_y.ctypes.data_as(ctypes.c_void_p),
+        quant_c.ctypes.data_as(ctypes.c_void_p),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(by), ctypes.byref(bx),
+        ctypes.byref(cby), ctypes.byref(cbx), ctypes.byref(ss))
+    if rc != 0:
+        return None
+    if ss.value == 0:
+        # grayscale: synthesize neutral chroma at the 4:2:0 grid so the
+        # device program sees a uniform layout
+        coef_c = np.zeros((2, (by.value + 1) // 2, (bx.value + 1) // 2,
+                           k, k), np.int16)
+        ss.value = 2 if by.value % 2 == 0 and bx.value % 2 == 0 else 1
+        if ss.value == 1:
+            coef_c = np.zeros((2, by.value, bx.value, k, k), np.int16)
+    return JpegCoeffs(coef_y, coef_c, quant_y, quant_c, h.value, w.value,
+                      ss.value, k)
 
 
 class NativeDecoder:

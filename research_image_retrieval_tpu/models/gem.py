@@ -81,8 +81,12 @@ class GeMModel(nn.Module):
     def __call__(self, x, labels, train: bool = True):
         """Train forward: (loss, logits)."""
         feat = self._descriptor(x, train=train)
+        # the additive angular margin is a TRAINING construct — eval
+        # logits are plain scaled cosine (m=0), so argmax accuracy is
+        # not penalized on the target class
         logits = arcface_logits(
-            feat, self.classifier_w, labels, s=self.s, m=self.m
+            feat, self.classifier_w, labels, s=self.s,
+            m=self.m if train else 0.0,
         )
         return cross_entropy(logits, labels), logits
 

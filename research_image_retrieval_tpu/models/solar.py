@@ -112,7 +112,8 @@ class SOLARModel(nn.Module):
     def __call__(self, x, labels, train: bool = True):
         feat = self._descriptor(x, train)
         s = float(self.outputdim) ** 0.5
-        logits = arcface_logits(feat, self.classifier_w, labels, s=s, m=self.m)
+        logits = arcface_logits(feat, self.classifier_w, labels, s=s,
+                                m=self.m if train else 0.0)
         return cross_entropy(logits, labels), logits
 
     def extract(self, x, valid_hw=None):

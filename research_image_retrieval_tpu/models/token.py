@@ -147,16 +147,19 @@ class TokenModel(nn.Module):
         fmap = self.backbone(x, train=train)
         feat = self.tr(fmap, train=train)
         s = float(self.outputdim) ** 0.5
-        if self.use_delg_arcface:
+        if self.use_delg_arcface and train:
             logits, new_t = arcface_delg_logits(
                 feat, self.classifier_w, labels, t_state=self.t_var.value,
                 s=s, m=self.m,
             )
-            if train and not self.is_initializing():
+            if not self.is_initializing():
                 self.t_var.value = new_t
         else:
+            # margin (and DELG hard-example rescaling) only at train;
+            # eval logits are plain scaled cosine
             logits = arcface_logits(
-                feat, self.classifier_w, labels, s=s, m=self.m
+                feat, self.classifier_w, labels, s=s,
+                m=self.m if train else 0.0,
             )
         return cross_entropy(logits, labels), logits
 

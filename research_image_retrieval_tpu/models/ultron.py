@@ -507,7 +507,10 @@ class ULTRONRetrievalModel(nn.Module):
 
     def __call__(self, x, labels, train: bool = True):
         feat = self._descriptor(x, train)
-        loss, aux = madacos_loss(feat, self.classifier_w, labels, rho=self.rho)
+        # the adaptive margin is a training construct; eval logits use
+        # m=0 (scale does not affect argmax) so accuracy is unpenalized
+        loss, aux = madacos_loss(feat, self.classifier_w, labels, rho=self.rho,
+                                 fixed_margin=None if train else 0.0)
         return loss, aux["logits"]
 
     def extract(self, x, valid_hw=None):

@@ -236,8 +236,10 @@ class ViTGlobalModel(nn.Module):
 
     def __call__(self, x, labels, train: bool = True):
         feat = self._descriptor(x, train)
+        # margin only at train; eval logits are plain scaled cosine
         logits = arcface_logits(
-            feat, self.classifier_w, labels, s=self.s, m=self.m
+            feat, self.classifier_w, labels, s=self.s,
+            m=self.m if train else 0.0,
         )
         return cross_entropy(logits, labels), logits
 

@@ -322,7 +322,7 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
         # the remote tunnel and was measured dominating short epochs
         host_state = jax.device_get(state)
         return {
-            "state": jax.tree.map(np.asarray, host_state),
+            "state": host_state,
             # 0-d arrays: orbax's standard handler rejects bare numpy scalars
             "it": {
                 k: np.asarray(v, np.int64)
@@ -379,7 +379,11 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
     eval_step = make_eval_step(model, mesh=mesh, input_norm=input_norm,
                                teacher_table=teacher_table)
 
-    history = {"train_loss": [], "val_loss": [], "val_top1_err": []}
+    # "preempted" is the explicit signal callers should use to detect a
+    # partial run (epoch-count heuristics break on resume, where history
+    # starts empty even though earlier epochs completed)
+    history = {"train_loss": [], "val_loss": [], "val_top1_err": [],
+               "preempted": False}
     switched = phase == "main"
     guard = PreemptionGuard()  # SIGTERM -> checkpoint and exit cleanly
 
@@ -418,6 +422,7 @@ def train(cfg: TrainConfig, max_steps_per_epoch: int | None = None):
                       "exiting")
                 guard.restore()
                 close_writers()
+                history["preempted"] = True
                 return state, history
             if max_steps_per_epoch and i + 1 >= max_steps_per_epoch:
                 train_it.epoch += 1

@@ -22,7 +22,9 @@ def plot_curves(history: dict, out_path: str, title: str = "training"):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    series = {k: v for k, v in history.items() if len(v)}
+    # history may carry non-series flags (e.g. "preempted": bool)
+    series = {k: v for k, v in history.items()
+              if isinstance(v, (list, tuple)) and len(v)}
     n = max(len(series), 1)
     fig, axes = plt.subplots(nrows=n, ncols=1, figsize=(8, 2.5 * n))
     if n == 1:
