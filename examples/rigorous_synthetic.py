@@ -167,9 +167,13 @@ def run(model_name: str) -> dict:
                  f"{len(history['train_loss'])}/{EPOCHS} epochs — aborting")
 
     # ---- test-set features + accuracy through the TRAINED state ----
+    # HELD-OUT samples of the SAME classes: class signatures shared with
+    # the train split (signature_seed), per-sample stream disjoint from
+    # both train (seed) and the driver's val split (seed + 1)
     test_ds = SyntheticRetrievalDataset(
         num_classes=NUM_CLASSES, samples_per_class=TEST_PER_CLASS,
-        image_size=IMSIZE, seed=cfg.seed + 1, uint8=True,
+        image_size=IMSIZE, seed=cfg.seed + 2, uint8=True,
+        signature_seed=cfg.seed,
     )
     model = get_model(model_name, num_classes=NUM_CLASSES,
                       **cfg.model_overrides)

@@ -74,6 +74,16 @@ class ImageFromList:
         original pixels).  NOT the reference decode path — prescaled
         pixels differ from a full decode at the interpolation level, so
         leave off for strict-parity runs.
+      dct_coeffs: > 0 switches JPEG items to the SPLIT decode: the host
+        entropy-decodes only, yielding ``JpegCoeffs`` payloads (top-left
+        k x k quantized DCT coefficients per 8x8 block) for
+        ``extract_vectors(dct_decode=True)``, which finishes the decode
+        on device — (k*k/64)*3 of the RGB-uint8 wire bytes (4x fewer at
+        k=4).  Oversized sources prescale in the DCT domain
+        (``out_block`` < 8) exactly like libjpeg's scale_denom.  Items
+        with a bbox, non-JPEG files and unsupported chroma layouts fall
+        back to RAW uint8 arrays (the stream handles both).  Requires
+        ``raw_uint8`` semantics (device-side normalization).
     """
 
     def __init__(
@@ -85,12 +95,16 @@ class ImageFromList:
         bgr: bool = False,
         raw_uint8: bool = False,
         fast_decode: bool = False,
+        dct_coeffs: int = 0,
     ):
         if raw_uint8 and bgr:
             raise ValueError(
                 "raw_uint8 stages normalization on-device with RGB stats; "
                 "the BGR (Caffe) path needs host normalization"
             )
+        if dct_coeffs and not raw_uint8:
+            raise ValueError("dct_coeffs requires raw_uint8=True "
+                             "(device-side normalization)")
         self.paths = list(paths)
         self.imsize = imsize
         self.bbxs = list(bbxs) if bbxs is not None else None
@@ -98,11 +112,48 @@ class ImageFromList:
         self.bgr = bgr
         self.raw_uint8 = raw_uint8
         self.fast_decode = fast_decode
+        self.dct_coeffs = int(dct_coeffs)
 
     def __len__(self):
         return len(self.paths)
 
+    def _coeffs_item(self, i: int):
+        """Split-decode path: JpegCoeffs payload, or None to fall back."""
+        path = self.paths[i]
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            return None
+        if self.bbxs is not None and self.bbxs[i] is not None:
+            return None  # crop coordinates live in pixel space
+        from research_image_retrieval_tpu.data.native_decode import (
+            decode_jpeg_coeffs,
+        )
+
+        with open(path, "rb") as f:
+            co = decode_jpeg_coeffs(f.read(), k=self.dct_coeffs)
+        if co is None:
+            return None
+        if self.imsize:
+            # DCT-domain prescale (libjpeg scale_denom semantics): the
+            # smallest 1/2^p whose max side is still >= imsize
+            full = max(co.h, co.w)
+            n = 8
+            while n > 1 and full * (n // 2) // 8 >= self.imsize:
+                n //= 2
+            co.out_block = n
+            dh, dw = co.decoded_hw
+            if max(co.h, co.w) != self.imsize:
+                s = self.imsize / max(co.h, co.w)
+                co.target_hw = (max(int(round(co.h * s)), 1),
+                                max(int(round(co.w * s)), 1))
+            else:
+                co.target_hw = (dh, dw)
+        return co
+
     def __getitem__(self, i: int) -> np.ndarray:
+        if self.dct_coeffs:
+            co = self._coeffs_item(i)
+            if co is not None:
+                return co
         has_bbx = self.bbxs is not None and self.bbxs[i] is not None
         prescale = (
             self.imsize if (self.fast_decode and self.imsize and not has_bbx)

@@ -156,7 +156,7 @@ class JpegCoeffs:
     through a slow host->device link."""
 
     __slots__ = ("coef_y", "coef_c", "quant_y", "quant_c", "h", "w",
-                 "subsamp", "k")
+                 "subsamp", "k", "out_block", "target_hw")
 
     def __init__(self, coef_y, coef_c, quant_y, quant_c, h, w, subsamp, k):
         self.coef_y = coef_y      # [by, bx, k, k] int16
@@ -167,6 +167,19 @@ class JpegCoeffs:
         self.w = w
         self.subsamp = subsamp    # 0 gray, 1 = 4:4:4, 2 = 4:2:0
         self.k = k
+        # set by the loader: device decode block size (n<8 = DCT-domain
+        # prescale by 8/n) and the post-decode thumbnail target dims
+        self.out_block = 8
+        self.target_hw = None
+
+    @property
+    def decoded_hw(self) -> tuple:
+        """Valid pixel extents AFTER device decode at ``out_block``."""
+        n = self.out_block
+        if n == 8:
+            return (self.h, self.w)
+        return (max(1, int(round(self.h * n / 8))),
+                max(1, int(round(self.w * n / 8))))
 
     @property
     def nbytes(self) -> int:

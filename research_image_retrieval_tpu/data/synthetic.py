@@ -30,6 +30,14 @@ class SyntheticRetrievalDataset:
         instead of float32 [0,1] — opt-in so the train driver's
         raw-uint8 path (4x fewer H2D bytes, device-fused
         normalization) can be exercised end-to-end on synthetic data.
+      signature_seed: seed for the per-CLASS signatures (color, pattern,
+        phase).  Defaults to ``seed`` (a standalone dataset), but
+        train/val/test splits of one task MUST share it while varying
+        ``seed`` — otherwise class c *looks different* in each split and
+        held-out evaluation is unlearnable by construction (the defect
+        behind the 0.0 test accuracies recorded before round 5; the
+        reference derives signatures from the class id alone,
+        rigorous_training.py:60-99, so its splits always share them).
 
     Access: ``len(ds)``, ``ds[i] -> (image [H,W,3] float32 in [0,1],
     label int)``, ``ds.images()`` iterator, ``ds.labels`` array.
@@ -43,6 +51,7 @@ class SyntheticRetrievalDataset:
         noise: float = 0.08,
         seed: int = 0,
         uint8: bool = False,
+        signature_seed: int | None = None,
     ):
         self.uint8 = uint8
         self.num_classes = num_classes
@@ -51,7 +60,8 @@ class SyntheticRetrievalDataset:
         self.noise = noise
         self.seed = seed
         self.labels = np.repeat(np.arange(num_classes), samples_per_class)
-        base = np.random.default_rng(seed)
+        base = np.random.default_rng(
+            seed if signature_seed is None else signature_seed)
         # per-class signature: color, pattern type, pattern phase
         self._colors = base.uniform(0.2, 1.0, size=(num_classes, 3))
         self._patterns = base.integers(0, len(_PATTERNS), size=num_classes)

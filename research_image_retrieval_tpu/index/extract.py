@@ -459,13 +459,17 @@ class _AccumStream:
     def _dispatch(self, key: tuple, chunk) -> None:
         t0 = time.perf_counter()
         batch, meta = self._assemble(key, chunk)
+        # multi-part payloads (e.g. the DCT-coefficient pipeline's
+        # luma/chroma/quant arrays) travel as a tuple; each part gets its
+        # own put and the update program receives them positionally
+        parts = batch if isinstance(batch, tuple) else (batch,)
         t1 = time.perf_counter()
-        dev_batch = self.put(batch)
+        dev_parts = [self.put(p) for p in parts]
         dev_meta = self.put(meta)
         t2 = time.perf_counter()
         self._ensure_buffers(key)
         self.acc, self.kept, ticket = self._program(key)(
-            self.acc, self.kept, dev_batch, dev_meta)
+            self.acc, self.kept, *dev_parts, dev_meta)
         t3 = time.perf_counter()
         self.tickets.append(ticket)
         if len(self.tickets) > self.max_inflight:
@@ -476,7 +480,7 @@ class _AccumStream:
         tr["h2d_call_s"] += t2 - t1
         tr["dispatch_call_s"] += t3 - t2
         tr["backpressure_wait_s"] += t4 - t3
-        tr["h2d_bytes"] += batch.nbytes + meta.nbytes
+        tr["h2d_bytes"] += sum(p.nbytes for p in parts) + meta.nbytes
         tr["n_dispatches"] += 1
 
     def finish(self) -> np.ndarray:
@@ -661,6 +665,197 @@ class _DeviceScaleAccumStream(_AccumStream):
         super()._ensure_buffers(key)
 
 
+class _DctAccumStream(_DeviceScaleAccumStream):
+    """Bucketed multi-scale extraction fed by ENTROPY-DECODED JPEGs.
+
+    The host ships quantized DCT coefficients (top-left k x k of each
+    8x8 block — ``data.native_decode.decode_jpeg_coeffs``); the bucket
+    program finishes the decode ON DEVICE (dequant + iDCT + chroma
+    upsample + YCbCr->RGB, ``ops.jpeg_decode``), zeroes the padding
+    region (parity with the RGB path's zero-padded canvas), fuses the
+    input normalization, resizes every image to its thumbnail target
+    (the host path's ``imthumbnail``) times each scale via the dense
+    per-image resize weights, and scatter-adds descriptors into the
+    block accumulator.  Wire bytes: ``(k*k/64)*3`` per RGB-uint8 byte —
+    4x fewer at k=4 — which raises the pipe ceiling of a slow
+    host->device link by the same factor (the north-star on-device
+    decode; reference decode surface: dataset/configdataset.py:294-302).
+
+    Tasks may mix ``JpegCoeffs`` payloads with plain RGB uint8 arrays
+    (non-JPEG files, bbox-cropped queries, unsupported chroma layouts);
+    RGB tasks route to the parent class's programs.  DCT bucket keys
+    carry (canvas, target, subsamp, k, out_block), so mixed batches
+    never share a program.  All scales run through the dense-resize
+    path (identity resizes are exact), because the thumbnail target
+    rarely equals the decoded canvas.
+    """
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        if self.prep is None:
+            raise ValueError("DCT-coefficient extraction requires "
+                             "input_norm (the decoded RGB is normalized "
+                             "inside the device program)")
+        # chroma blocks must stay aligned after canvas quantization:
+        # bucket must be a multiple of 2 * out_block (<= 16)
+        self.bucket = -(-self.bucket // 16) * 16
+
+    # -- keys / meta -----------------------------------------------------
+
+    def _targets(self, item) -> list[tuple[int, int, int]]:
+        """Per-scale (oh, ow, ok) from the thumbnail target dims,
+        mirroring the host path's guard semantics."""
+        vh, vw = item.decoded_hw
+        th, tw = item.target_hw or (vh, vw)
+        out = []
+        mult = self.multiple
+        for s in self.scales:
+            if self.single:
+                nh, nw, ok = th, tw, 1
+                if nh < _MIN_SIDE or nw < _MIN_SIDE:
+                    f = max(_UPSCALE_TARGET / nh, _UPSCALE_TARGET / nw)
+                    nh, nw = int(round(nh * f)), int(round(nw * f))
+            else:
+                nh, nw = int(math.floor(th * s)), int(math.floor(tw * s))
+                ok = int(nh >= _MIN_SIDE and nw >= _MIN_SIDE)
+            if ok and mult > 1:
+                nh, nw = _snap(nh, mult), _snap(nw, mult)
+            out.append((nh, nw) + (ok,) if ok else (th, tw, 0))
+        return out
+
+    def _key_and_task(self, owner: int, img):
+        from research_image_retrieval_tpu.data.native_decode import (
+            JpegCoeffs,
+        )
+
+        if not isinstance(img, JpegCoeffs):
+            return super()._key_and_task(owner, img)
+        q = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
+        n = img.out_block
+        ch, cw = img.coef_y.shape[0] * n, img.coef_y.shape[1] * n  # canvas
+        tmax_h = max(t[0] for t in self._targets(img))
+        tmax_w = max(t[1] for t in self._targets(img))
+        key = ("dct", q(ch), q(cw), q(tmax_h), q(tmax_w),
+               img.subsamp, img.k, n)
+        return key, (owner, img, None)
+
+    def _fill_meta(self, meta: np.ndarray, r: int, task) -> None:
+        from research_image_retrieval_tpu.data.native_decode import (
+            JpegCoeffs,
+        )
+
+        owner, item, _ = task
+        if not isinstance(item, JpegCoeffs):
+            return super()._fill_meta(meta, r, task)
+        vh, vw = item.decoded_hw
+        meta[r, 0:2] = (vh, vw)
+        meta[r, 2] = owner - self.block_base
+        for si, (nh, nw, ok) in enumerate(self._targets(item)):
+            meta[r, 3 + 3 * si: 5 + 3 * si] = (nh, nw)
+            meta[r, 5 + 3 * si] = ok
+
+    # -- assembly --------------------------------------------------------
+
+    def _dct_pads(self, key: tuple) -> list[tuple[int, int]]:
+        _, _, _, tqh, tqw = key[:5]
+        qb = lambda v: int(math.ceil(v / self.bucket) * self.bucket)
+        margin = self.multiple // 2 if self.multiple > 1 else 0
+        return [
+            (tqh, tqw) if s >= 1.0 else
+            (qb(int(math.floor(tqh * s)) + margin),
+             qb(int(math.floor(tqw * s)) + margin))
+            for s in self.scales
+        ]
+
+    def _assemble(self, key: tuple, chunk):
+        if key[0] != "dct":
+            return super()._assemble(key, chunk)
+        _, cqh, cqw, tqh, tqw, ss, k, n = key
+        B = self.batch_size
+        Yb, Xb = cqh // n, cqw // n
+        cf = 2 if ss == 2 else 1
+        cy = np.zeros((B, Yb, Xb, k, k), np.int16)
+        cc = np.zeros((B, 2, Yb // cf, Xb // cf, k, k), np.int16)
+        qt = np.ones((B, 2, k, k), np.float32)
+        meta = np.full((B, self._meta_width()), self.block_cap, np.int32)
+        # padding rows: full-canvas extents, every scale invalid -> trash
+        meta[:, 0] = cqh
+        meta[:, 1] = cqw
+        pads = self._dct_pads(key)
+        for si, (ph, pw) in enumerate(pads):
+            meta[:, 3 + 3 * si] = ph
+            meta[:, 4 + 3 * si] = pw
+            meta[:, 5 + 3 * si] = 0
+        for r, task in enumerate(chunk):
+            item = task[1]
+            yb, xb = item.coef_y.shape[:2]
+            cy[r, :yb, :xb] = item.coef_y
+            cb, cxb = item.coef_c.shape[1:3]
+            cc[r, :, :cb, :cxb] = item.coef_c
+            qt[r, 0] = item.quant_y
+            qt[r, 1] = item.quant_c
+            self._fill_meta(meta, r, task)
+        return (cy, cc, qt), meta
+
+    # -- programs --------------------------------------------------------
+
+    def _build_update(self, key: tuple):
+        if key[0] != "dct":
+            return super()._build_update(key)
+        from research_image_retrieval_tpu.ops.jpeg_decode import (
+            dct_decode_rgb,
+        )
+
+        _, cqh, cqw, tqh, tqw, ss, k, n = key
+        cap = self.block_cap
+        extract = self.extract_fn
+        prep = self.prep
+        scales = self.scales
+        hp = jax.lax.Precision.HIGHEST
+        pads = self._dct_pads(key)
+
+        def update(acc, kept, cy, cc, qt, meta):
+            rgb = dct_decode_rgb(cy, cc, qt[:, 0], qt[:, 1], ss, n)
+            vh, vw, owner = meta[:, 0], meta[:, 1], meta[:, 2]
+            # zero the padding region: identical canvas semantics to the
+            # RGB path's zero-padded uint8 batches
+            rows = jnp.arange(cqh)[None, :, None] < vh[:, None, None]
+            cols = jnp.arange(cqw)[None, None, :] < vw[:, None, None]
+            rgb = rgb * (rows & cols)[..., None]
+            x0 = prep(rgb)
+            for si in range(len(scales)):
+                oh = meta[:, 3 + 3 * si]
+                ow = meta[:, 4 + 3 * si]
+                ok = meta[:, 5 + 3 * si]
+                ohp, owp = pads[si]
+                wh = _dense_resize_weights(vh, oh, cqh, ohp,
+                                           antialias=self.antialias)
+                xs = jnp.einsum("boh,bhwc->bowc", wh,
+                                x0.astype(jnp.float32), precision=hp)
+                ww = _dense_resize_weights(vw, ow, cqw, owp,
+                                           antialias=self.antialias)
+                xs = jnp.einsum("bow,bhwc->bhoc", ww, xs, precision=hp)
+                feed = jnp.stack([jnp.where(ok > 0, oh, ohp),
+                                  jnp.where(ok > 0, ow, owp)], axis=1)
+                vecs = extract(xs, feed)
+                tgt = jnp.where(ok > 0, owner, cap)
+                acc = acc.at[tgt].add(vecs.astype(jnp.float32))
+                kept = kept.at[tgt].add(1)
+            return acc, kept, kept[cap]
+
+        return self._jit(update)
+
+    def _ensure_buffers(self, key: tuple) -> None:
+        if self.outputdim is None and key[0] == "dct":
+            tqh, tqw = key[3], key[4]
+            spec = jax.ShapeDtypeStruct(
+                (self.batch_size, tqh, tqw, 3), jnp.float32)
+            ext = jax.ShapeDtypeStruct((self.batch_size, 2), jnp.int32)
+            self.outputdim = int(
+                jax.eval_shape(self.extract_fn, spec, ext).shape[-1])
+        super()._ensure_buffers(key)
+
+
 def extract_vectors(
     extract_fn: Callable[..., jnp.ndarray],
     images: Iterable[np.ndarray],
@@ -677,6 +872,7 @@ def extract_vectors(
     block_cap: int = 8192,
     trace: dict | None = None,
     antialias: bool = True,
+    dct_decode: bool = False,
 ) -> np.ndarray:
     """Extract descriptors for a sequence of variable-resolution images.
 
@@ -759,7 +955,36 @@ def extract_vectors(
     # runs earlier batches (images may be a lazy loader, e.g.
     # data.eval_loader.ImageFromList — decode happens per-item here).
     multi = not (len(scales) == 1 and scales[0] == 1.0)
-    if device_scales and (multi or input_norm is not None):
+    if dct_decode:
+        if not device_scales or input_norm is None:
+            raise ValueError("dct_decode requires device_scales=True and "
+                             "input_norm (decode + normalization happen "
+                             "inside the device programs)")
+        stream = _DctAccumStream(
+            extract_fn, bucket, batch_size, scales,
+            extent_multiple=extent_multiple, mesh=mesh,
+            max_inflight=pipeline_depth, block_cap=block_cap,
+            input_norm=input_norm, trace=trace, antialias=antialias,
+        )
+
+        def expand(i, img):
+            # RGB fallback arrays (non-JPEG / bbox crops / unsupported
+            # layouts) share the stream and use the parent RGB buckets
+            if isinstance(img, np.ndarray):
+                th, tw = img.shape[:2]
+            else:
+                th, tw = img.target_hw or img.decoded_hw
+            if multi and all(
+                math.floor(th * s) < _MIN_SIDE
+                or math.floor(tw * s) < _MIN_SIDE
+                for s in scales
+            ):
+                raise ValueError(
+                    f"All scales {scales} shrink image {i} ({th}x{tw}) "
+                    f"below {_MIN_SIDE}px"
+                )
+            return [(i, img)]
+    elif device_scales and (multi or input_norm is not None):
         stream = _DeviceScaleAccumStream(
             extract_fn, bucket, batch_size, scales,
             extent_multiple=extent_multiple, mesh=mesh,
@@ -794,14 +1019,18 @@ def extract_vectors(
     n = 0
     t_prev = time.perf_counter()
     for i, img in enumerate(images):
-        img = np.asarray(img)
-        if in_dtype == np.uint8 and img.dtype != np.uint8:
-            raise ValueError(
-                "input_norm expects RAW uint8 images (got "
-                f"{img.dtype} for image {i}); use e.g. "
-                "ImageFromList(raw_uint8=True)"
-            )
-        tasks = expand(i, img.astype(in_dtype, copy=False))
+        if dct_decode and not isinstance(img, np.ndarray) \
+                and hasattr(img, "coef_y"):
+            tasks = expand(i, img)  # entropy-decoded JPEG payload
+        else:
+            img = np.asarray(img)
+            if in_dtype == np.uint8 and img.dtype != np.uint8:
+                raise ValueError(
+                    "input_norm expects RAW uint8 images (got "
+                    f"{img.dtype} for image {i}); use e.g. "
+                    "ImageFromList(raw_uint8=True)"
+                )
+            tasks = expand(i, img.astype(in_dtype, copy=False))
         t_now = time.perf_counter()
         tr["host_prep_s"] += t_now - t_prev  # decode + host resize time
         for owner, task in tasks:

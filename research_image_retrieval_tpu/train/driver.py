@@ -139,6 +139,10 @@ def build_datasets(cfg: TrainConfig):
     # synthetic fallback: deterministic procedural classes
     n_cls = cfg.synthetic_classes
     u8 = bool(getattr(cfg, "synthetic_uint8", False))
+    # val shares the CLASS signatures with train (signature_seed) and
+    # differs only in the per-sample stream (seed + 1) — held-out
+    # samples of the SAME classes, the reference's split semantics
+    # (rigorous_training.py:60-99)
     train = SyntheticRetrievalDataset(
         num_classes=n_cls, samples_per_class=cfg.synthetic_samples,
         image_size=cfg.imsize, seed=cfg.seed, uint8=u8,
@@ -146,6 +150,7 @@ def build_datasets(cfg: TrainConfig):
     val = SyntheticRetrievalDataset(
         num_classes=n_cls, samples_per_class=cfg.synthetic_val_samples,
         image_size=cfg.imsize, seed=cfg.seed + 1, uint8=u8,
+        signature_seed=cfg.seed,
     )
     return train, val, n_cls
 
