@@ -272,6 +272,20 @@ def _extract_pipe_1024_ms3(get_model):
         t0 = time.time()
         vecs = extract_vectors(masked, loader, **kw)
         sec = time.time() - t0
+
+        # ---- SPLIT decode: host entropy-decodes to truncated DCT
+        # coefficients (k=4 -> ~4x fewer wire bytes), the device bucket
+        # program finishes the decode (ops/jpeg_decode.py).  The
+        # north-star on-device decode path; descriptor parity vs the RGB
+        # path is pinned in tests/test_dct_decode.py.
+        mk_dct = lambda ps: PrefetchedImages(ImageFromList(
+            ps, imsize=1024, raw_uint8=True, dct_coeffs=4), depth=12)
+        extract_vectors(masked, mk_dct(paths[:8]), dct_decode=True, **kw)
+        dtrace = {}
+        t1 = time.time()
+        dvecs = extract_vectors(masked, mk_dct(paths), dct_decode=True,
+                                trace=dtrace, **kw)
+        dsec = time.time() - t1
     assert vecs.shape[0] == n_img
     v = n_img / sec
     out.append({
@@ -279,6 +293,18 @@ def _extract_pipe_1024_ms3(get_model):
         "value": round(v, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(v / BASELINE_IMGS_PER_SEC, 4),
+    })
+    dcos = float(np.sum(np.asarray(dvecs) * np.asarray(vecs), axis=1).min())
+    dtrace["min_cosine_vs_rgb_pipe"] = round(dcos, 5)
+    dtrace["wall_s"] = round(dsec, 3)
+    print(f"dct pipe trace: {json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in dtrace.items()})}",
+          file=sys.stderr, flush=True)
+    vd = n_img / dsec
+    out.append({
+        "metric": "gem_r50_dctk4_pipe_imgs_per_sec_1024_ms3",
+        "value": round(vd, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vd / BASELINE_IMGS_PER_SEC, 4),
     })
     return out
 

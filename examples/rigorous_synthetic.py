@@ -129,9 +129,19 @@ def run(model_name: str) -> dict:
     recipe = dict(RECIPES.get(model_name,
                               dict(optimizer="adamw", base_lr=3e-4)))
     overrides = recipe.pop("overrides", {})
+    # keep only overrides the model's dataclass actually accepts (e.g.
+    # ULTRON has no ``outputdim``; only margin heads have ``s``/``m``)
+    import dataclasses
+
+    fields = {f.name for f in dataclasses.fields(
+        get_model(model_name, num_classes=NUM_CLASSES))}
+    overrides = {
+        k: v for k, v in dict(outputdim=512, **overrides).items()
+        if k in fields
+    }
     cfg = TrainConfig(
         model=model_name,
-        model_overrides=dict(outputdim=512, **overrides),
+        model_overrides=overrides,
         imsize=IMSIZE,
         batch_size=BATCH,
         num_workers=2,

@@ -301,7 +301,7 @@ class _AccumStream:
 
     def __init__(self, extract_fn, bucket: int, batch_size: int,
                  mesh=None, max_inflight: int = 16, block_cap: int = 8192,
-                 trace: dict | None = None):
+                 trace: dict | None = None, async_dispatch: bool = True):
         self.extract_fn = extract_fn
         self.put = jnp.asarray
         self._rep = None
@@ -332,9 +332,19 @@ class _AccumStream:
         self.blocks: list[np.ndarray] = []
         self.trace = trace if trace is not None else {}
         for k in ("assemble_s", "h2d_call_s", "dispatch_call_s",
-                  "backpressure_wait_s", "finalize_s", "h2d_bytes",
-                  "n_dispatches", "n_block_flushes"):
+                  "backpressure_wait_s", "enqueue_wait_s", "finalize_s",
+                  "h2d_bytes", "n_dispatches", "n_block_flushes"):
             self.trace.setdefault(k, 0.0 if k.endswith("_s") else 0)
+        # dispatcher thread: on tunnel-attached devices the jitted
+        # execute CALL parks until its argument transfer drains (VERDICT
+        # r4: dispatch_call_s ~ transfer time while h2d_call_s ~ 0), so
+        # running dispatches on a worker thread lets host decode/assembly
+        # of later images overlap the wire — the 1-core host can decode
+        # while the dispatcher sleeps on socket I/O
+        self.async_dispatch = bool(async_dispatch)
+        self._q = None
+        self._worker = None
+        self._worker_err = None
 
     # -- program construction -------------------------------------------
 
@@ -392,6 +402,7 @@ class _AccumStream:
             if self.pending[key]:
                 self._dispatch(key, self.pending[key])
                 self.pending[key] = []
+        self._drain()  # all dispatches applied before reading the block
         n = self.block_n
         if n == 0:
             return
@@ -456,7 +467,56 @@ class _AccumStream:
             self._fill_meta(meta, r, task)
         return batch, meta
 
+    # -- dispatcher thread ----------------------------------------------
+
+    def _worker_loop(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                if self._worker_err is None:
+                    self._dispatch_now(*item)
+            except BaseException as e:  # surface on the feeding thread
+                self._worker_err = e
+            finally:
+                self._q.task_done()
+
+    def _check_worker(self) -> None:
+        if self._worker_err is not None:
+            err, self._worker_err = self._worker_err, None
+            raise err
+
+    def _drain(self) -> None:
+        """Block until every enqueued dispatch has been applied."""
+        if self._q is not None:
+            self._q.join()
+        self._check_worker()
+
+    def close(self) -> None:
+        if self._worker is not None:
+            self._q.put(None)
+            self._worker.join()
+            self._worker = None
+            self._q = None
+
     def _dispatch(self, key: tuple, chunk) -> None:
+        if not self.async_dispatch:
+            return self._dispatch_now(key, chunk)
+        if self._worker is None:
+            import queue
+            import threading
+
+            self._q = queue.Queue(maxsize=4)
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="rir-dispatch", daemon=True)
+            self._worker.start()
+        self._check_worker()
+        t0 = time.perf_counter()
+        self._q.put((key, chunk))
+        self.trace["enqueue_wait_s"] += time.perf_counter() - t0
+
+    def _dispatch_now(self, key: tuple, chunk) -> None:
         t0 = time.perf_counter()
         batch, meta = self._assemble(key, chunk)
         # multi-part payloads (e.g. the DCT-coefficient pipeline's
@@ -485,7 +545,10 @@ class _AccumStream:
 
     def finish(self) -> np.ndarray:
         """Flush pending buckets, finalize every block, return [N, D]."""
-        self._finalize_block()
+        try:
+            self._finalize_block()
+        finally:
+            self.close()
         if not self.blocks:
             return np.zeros((0, self.outputdim or 0), np.float32)
         return (self.blocks[0] if len(self.blocks) == 1

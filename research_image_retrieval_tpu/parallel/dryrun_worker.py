@@ -137,10 +137,58 @@ def main() -> None:
                                       chunk=8, engine=engine)
         assert (np.asarray(i) == ref).all(), (engine,)
 
+    # ---- cross-process extract -> rank -> Revisited protocol eval:
+    # the bucketed mesh-sharded extractor streams the SAME host images
+    # from every process (its device_put scatters each process's
+    # addressable shards of the global batch), and the protocol mAP must
+    # equal the single-device pipeline's exactly
+    from research_image_retrieval_tpu.data import SyntheticRetrievalDataset
+    from research_image_retrieval_tpu.data.transforms import (
+        IMAGENET_MEAN,
+        IMAGENET_STD,
+    )
+    from research_image_retrieval_tpu.evaluation import evaluate_revisited
+    from research_image_retrieval_tpu.index import extract_vectors, rank_full
+
+    xmodel = get_model("gem_r50", backbone_name="resnet18", outputdim=32,
+                       num_classes=8)
+    xvars = xmodel.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3), jnp.float32),
+        labels=jnp.zeros((1,), jnp.int32), train=False,
+    )
+
+    def extract(x, valid_hw):
+        return xmodel.apply(xvars, x, valid_hw, method="extract")
+
+    ds = SyntheticRetrievalDataset(num_classes=4, samples_per_class=3,
+                                   image_size=64, seed=3, uint8=True)
+    imgs = [np.ascontiguousarray(ds[i][0][: 64 - 8 * (i % 3),
+                                          : 64 - 8 * ((i + 1) % 3)])
+            for i in range(len(ds))]
+    xlabels = ds.labels
+    kw = dict(scales=(1.0, 0.5), bucket=32, batch_size=4,
+              device_scales=True,
+              input_norm=(IMAGENET_MEAN, IMAGENET_STD))
+    ref_v = extract_vectors(extract, imgs, **kw)
+    got_v = extract_vectors(extract, imgs, mesh=mesh, **kw)
+    xdev = float(np.abs(ref_v - got_v).max())
+    assert xdev < 1e-5, f"cross-process extraction deviates {xdev:.3e}"
+    gnd = []
+    for i in range(len(imgs)):
+        same = np.flatnonzero(xlabels == xlabels[i])
+        gnd.append({"easy": same[same != i], "hard": np.array([], int),
+                    "junk": np.array([i])})
+    res_ref = evaluate_revisited(np.asarray(rank_full(ref_v, ref_v)), gnd,
+                                 dataset="dryrun")
+    res_got = evaluate_revisited(np.asarray(rank_full(got_v, got_v)), gnd,
+                                 dataset="dryrun")
+    assert res_ref.map_easy == res_got.map_easy, (res_ref, res_got)
+
     print(
         f"RANK{rank}_DRYRUN_OK world={world} local={local} "
         f"mesh={dict(mesh.shape)} loss={float(metrics_m['loss']):.4f} "
-        f"dev={ {k: f'{v:.2e}' for k, v in dev.items()} }",
+        f"dev={ {k: f'{v:.2e}' for k, v in dev.items()} } "
+        f"extract_eval_dev={xdev:.1e} mAP={res_got.map_easy}",
         flush=True,
     )
 
