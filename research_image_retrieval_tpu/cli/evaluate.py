@@ -23,6 +23,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", default="")
     p.add_argument("--imsize", type=int, default=1024)
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--dct-decode", type=int, default=0, metavar="K",
+                   help="split JPEG decode: host entropy-decodes to "
+                        "k x k DCT coefficients, device finishes the "
+                        "decode (4x fewer wire bytes at K=4)")
     p.add_argument("--host-scales", action="store_true",
                    help="multi-scale resizes on the host instead of the "
                         "on-device tap-table resize (debug/fallback)")
@@ -83,6 +87,7 @@ def main(argv=None):
         checkpoint=args.checkpoint,
         multiscale=(1.0, 2**-0.5, 0.5) if args.multiscale else (1.0,),
         device_scales=not args.host_scales,
+        dct_decode=args.dct_decode,
         alpha_qe=args.alpha_qe,
         qe_k=args.qe_k,
         qe_alpha=args.qe_alpha,

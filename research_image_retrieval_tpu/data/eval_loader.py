@@ -154,6 +154,11 @@ class ImageFromList:
             co = self._coeffs_item(i)
             if co is not None:
                 return co
+        return self.rgb_item(i)
+
+    def rgb_item(self, i: int) -> np.ndarray:
+        """The decoded pixel item regardless of ``dct_coeffs`` — the
+        rerank paths re-load shortlist images as pixels."""
         has_bbx = self.bbxs is not None and self.bbxs[i] is not None
         prescale = (
             self.imsize if (self.fast_decode and self.imsize and not has_bbx)
@@ -209,6 +214,11 @@ class PrefetchedImages:
         # images by gallery id) delegates straight to the wrapped dataset;
         # only sequential iteration gets the decode-ahead pool.
         return self.dataset[i]
+
+    def rgb_item(self, i: int):
+        """Pixel item regardless of the dataset's payload mode."""
+        fn = getattr(self.dataset, "rgb_item", None)
+        return self.dataset[i] if fn is None else fn(i)
 
     def __iter__(self):
         from concurrent.futures import ThreadPoolExecutor

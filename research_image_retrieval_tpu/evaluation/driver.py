@@ -129,21 +129,27 @@ def evaluate(cfg: EvalConfig):
         # normalization + scale resizes into the device programs
         dev = cfg.device_scales and bucket is not None
         norm = (IMAGENET_MEAN, IMAGENET_STD) if dev else None
+        # split decode (host entropy -> device iDCT) for the gallery;
+        # bbox'd queries fall back to RGB per item inside the stream
+        dct_k = int(getattr(cfg, "dct_decode", 0)) if dev else 0
         db_loader = PrefetchedImages(
-            ImageFromList(ds.im_fnames, imsize=cfg.imsize, raw_uint8=dev))
+            ImageFromList(ds.im_fnames, imsize=cfg.imsize, raw_uint8=dev,
+                          dct_coeffs=dct_k))
         q_loader = PrefetchedImages(ImageFromList(
             ds.qim_fnames, imsize=cfg.imsize,
             bbxs=[ds.query_bbx(i) for i in range(ds.nq)],
-            raw_uint8=dev,
+            raw_uint8=dev, dct_coeffs=dct_k,
         ))
         vecs = extract_vectors(extract, db_loader, scales=cfg.multiscale,
                                print_freq=100, bucket=bucket,
                                extent_multiple=multiple,
-                               device_scales=dev, input_norm=norm)
+                               device_scales=dev, input_norm=norm,
+                               dct_decode=dct_k > 0)
         qvecs = extract_vectors(extract, q_loader, scales=cfg.multiscale,
                                 print_freq=100, bucket=bucket,
                                 extent_multiple=multiple,
-                                device_scales=dev, input_norm=norm)
+                                device_scales=dev, input_norm=norm,
+                                dct_decode=dct_k > 0)
         if cfg.pca_whiten:
             vecs, qvecs = _whiten(vecs, qvecs, cfg)
         if cfg.alpha_qe:
@@ -205,8 +211,9 @@ def _square_images(loader, idxs, size: int) -> np.ndarray:
     from research_image_retrieval_tpu.index import resize_bilinear_np
 
     out = np.empty((len(idxs), size, size, 3), np.float32)
+    item = getattr(loader, "rgb_item", loader.__getitem__)
     for j, i in enumerate(idxs):
-        out[j] = resize_bilinear_np(np.asarray(loader[int(i)]), size, size)
+        out[j] = resize_bilinear_np(np.asarray(item(int(i))), size, size)
     return out
 
 

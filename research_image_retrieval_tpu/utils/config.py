@@ -119,6 +119,11 @@ class EvalConfig:
     # transfer per image instead of per scale, no host resize stage.
     # False restores per-scale host resizes (native C++/numpy).
     device_scales: bool = True
+    # split JPEG decode: > 0 ships entropy-decoded DCT coefficients
+    # (top-left k x k per block) and finishes decoding on device —
+    # (k*k/64)*3 of the RGB wire bytes (ops/jpeg_decode.py).  Gallery
+    # images only; bbox'd queries fall back to RGB per item.
+    dct_decode: int = 0
     checkpoint: str | None = None
     kappas: tuple = (1, 5, 10)
     alpha_qe: bool = False

@@ -196,6 +196,43 @@ def test_eval_driver_delg_local_rerank(tmp_path, rng):
         assert 0.0 <= float(v) <= 100.0
 
 
+def test_eval_driver_real_dataset_dct_decode(tmp_path, rng):
+    """--dct-decode path: gallery extraction through the split
+    host-entropy / device-iDCT decode must produce the SAME protocol
+    numbers as the RGB path on the same on-disk dataset (queries carry
+    bboxes -> automatic RGB fallback inside the stream), and the rerank
+    paths still get pixel arrays via rgb_item."""
+    from research_image_retrieval_tpu.data.native_decode import (
+        native_available,
+    )
+    from research_image_retrieval_tpu.evaluation.driver import evaluate
+    from research_image_retrieval_tpu.utils.config import EvalConfig
+
+    if not native_available():
+        import pytest as _pytest
+
+        _pytest.skip("native decoder unavailable")
+    _write_revisited_fixture(tmp_path, rng)
+    base = dict(
+        model="gem_r50",
+        model_overrides={"backbone_name": "resnet18", "outputdim": 16,
+                         "num_classes": 8},
+        datasets=("roxford5k",),
+        data_root=str(tmp_path),
+        imsize=48,
+        cvnet_rerank=True,
+        rerank_k=4,
+        rerank_imsize=48,
+        rerank_backbone="resnet18",
+    )
+    res_rgb = evaluate(EvalConfig(**base))["roxford5k"]
+    res_dct = evaluate(EvalConfig(dct_decode=8, **base))["roxford5k"]
+    # k=8 split decode differs from libjpeg only at the integer-iDCT
+    # level; on this fixture the rounded protocol numbers must agree
+    for a, b in zip(res_rgb, res_dct):
+        assert abs(float(a) - float(b)) <= 2.0, (res_rgb, res_dct)
+
+
 def test_evaluate_with_iqe(revisited_dir, capsys):
     """--iqe path: the learned IterativeQueryExpansion ranks end-to-end
     (random init -> warning printed, results in range)."""
