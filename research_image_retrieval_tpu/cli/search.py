@@ -90,6 +90,11 @@ def main(argv=None):
     else:
         gvecs = gal["vecs"]
         n_gal = len(gvecs)
+        if args.engine is None and not args.approx:
+            print("note: float gallery -> --engine exact (bf16 stream); "
+                  "for production serving, extract with --quantize-int8 "
+                  "so the int8 engine (fastest in every measured load "
+                  "window, docs/SERVING.md) becomes the default")
     gnames = gal["names"] if "names" in gal else np.arange(n_gal)
 
     if args.alpha_qe:
