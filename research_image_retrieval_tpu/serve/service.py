@@ -208,31 +208,41 @@ class SearchService:
                 selection=self.selection, recall_target=self.recall_target,
             )
             return lambda q: run(q, g, s)
+        # gallery arrays are jit ARGUMENTS on every path: closing them
+        # into the jitted function bakes the (multi-GB) gallery into the
+        # lowered program as a CONSTANT — re-serialized per batch bucket
+        # (observed: 2.87 GB per program, minutes of extra compile).
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
         if self.engine == "int8":
-            qg, gs = self._qg, self._gscales
             sel, rt = self.selection, self.recall_target
-
-            def run(q):
-                return int8_streaming_topk(q, qg, gs, k=k, selection=sel,
-                                           recall_target=rt)
-        elif self.engine == "approx":
-            g, rt = self._gallery, self.recall_target
-
-            def run(q):
-                return approx_streaming_topk(q, g, k=k, recall_target=rt)
-        else:
-            g = self._gallery
-            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            n = g.shape[0]
-            # tuned operating point (BENCH.md round-3 matrix): ~N/4 chunks
+            n = self._qg.shape[0]
+            # same tuned ~N/4 chunking as the exact stream
             chunk = min(max(-(-n // 4), 8192), n) if on_tpu else 4096
-            fp32 = self.exact_fp32_scores
-
-            def run(q):
-                return scan_streaming_topk(q, g, k=k, chunk=chunk,
-                                           exact_fp32_scores=fp32)
-
-        return jax.jit(run)
+            jitted = jax.jit(
+                lambda q, qg, gs: int8_streaming_topk(
+                    q, qg, gs, k=k, chunk=chunk, selection=sel,
+                    recall_target=rt)
+            )
+            qg, gs = self._qg, self._gscales
+            return lambda q: jitted(q, qg, gs)
+        if self.engine == "approx":
+            rt = self.recall_target
+            jitted = jax.jit(
+                lambda q, g: approx_streaming_topk(q, g, k=k,
+                                                   recall_target=rt)
+            )
+            g = self._gallery
+            return lambda q: jitted(q, g)
+        n = self._gallery.shape[0]
+        # tuned operating point (BENCH.md round-3 matrix): ~N/4 chunks
+        chunk = min(max(-(-n // 4), 8192), n) if on_tpu else 4096
+        fp32 = self.exact_fp32_scores
+        jitted = jax.jit(
+            lambda q, g: scan_streaming_topk(q, g, k=k, chunk=chunk,
+                                             exact_fp32_scores=fp32)
+        )
+        g = self._gallery
+        return lambda q: jitted(q, g)
 
     def _run_for(self, bucket: int):
         fn = self._runs.get(bucket)
