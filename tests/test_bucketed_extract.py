@@ -119,3 +119,46 @@ def test_mesh_sharded_extraction_matches_single_device(rng):
     mesh = make_mesh(data=8, model=1)
     sharded = extract_vectors(fn, images, bucket=32, batch_size=8, mesh=mesh)
     np.testing.assert_allclose(sharded, single, atol=1e-6)
+
+
+def test_async_dispatcher_surfaces_worker_errors(rng):
+    """An extract_fn that dies inside the dispatcher thread must raise
+    on the FEEDING thread (not hang or silently drop images)."""
+    import pytest
+
+    from research_image_retrieval_tpu.index import extract_vectors
+
+    def bad_fn(x, valid_hw):
+        raise RuntimeError("boom in dispatch")
+
+    images = [rng.standard_normal((40, 40, 3)).astype(np.float32)
+              for _ in range(4)]
+    with pytest.raises(RuntimeError, match="boom in dispatch"):
+        extract_vectors(bad_fn, images, bucket=32, batch_size=2)
+
+
+def test_sync_dispatch_path_still_equal(rng):
+    """async_dispatch=False (the in-line path) matches the threaded
+    default bit-for-bit."""
+    from research_image_retrieval_tpu.index.extract import _AccumStream
+
+    def fn(x, valid_hw):
+        from research_image_retrieval_tpu.ops import (
+            gem_pool,
+            hw_mask,
+            l2_normalize,
+        )
+
+        mask = hw_mask(x.shape[1], x.shape[2], valid_hw)
+        return l2_normalize(gem_pool(jnp.abs(x) + 0.1, p=3.0,
+                                     valid_hw=mask))
+
+    images = [rng.standard_normal((30 + 5 * i, 40, 3)).astype(np.float32)
+              for i in range(5)]
+    out = {}
+    for mode in (True, False):
+        s = _AccumStream(fn, bucket=32, batch_size=2, async_dispatch=mode)
+        for i, im in enumerate(images):
+            s.add(i, im)
+        out[mode] = s.finish()
+    np.testing.assert_array_equal(out[True], out[False])
