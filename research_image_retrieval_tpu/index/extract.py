@@ -59,6 +59,18 @@ __all__ = [
     "resize_bilinear_np",
 ]
 
+# Compiled bucket programs cached ACROSS extract_vectors calls, keyed by
+# the extract closure + the full program-shaping config.  Without this,
+# every call builds a NEW jit closure per bucket -> retrace + executable
+# reload; with model weights closed into the extract fn the executable
+# embeds them as constants (~150 MB for an R50 ms3 program), and on a
+# tunnel-attached device each reload re-ships them through the wire —
+# measured 5-10x pipe slowdowns (round 5; BENCH.md).  Entries die with
+# the extract closure (WeakKeyDictionary).
+import weakref
+
+_PROGRAM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
 _MIN_SIDE = 36
 _UPSCALE_TARGET = 64
 
@@ -341,7 +353,10 @@ class _AccumStream:
         # running dispatches on a worker thread lets host decode/assembly
         # of later images overlap the wire — the 1-core host can decode
         # while the dispatcher sleeps on socket I/O
-        self.async_dispatch = bool(async_dispatch)
+        import os as _os
+
+        self.async_dispatch = bool(async_dispatch) and not _os.environ.get(
+            "RIR_SYNC_DISPATCH")  # debug knob: force in-line dispatch
         self._q = None
         self._worker = None
         self._worker_err = None
@@ -367,10 +382,25 @@ class _AccumStream:
 
         return self._jit(update)
 
+    def _cache_salt(self) -> tuple:
+        """Everything (besides the bucket key) the update closure reads
+        from ``self`` at trace time — the cross-call cache key parts."""
+        return (type(self).__name__, self.bucket, self.batch_size,
+                self.block_cap, self._rep)
+
     def _program(self, key: tuple):
         prog = self.programs.get(key)
-        if prog is None:
-            prog = self.programs[key] = self._build_update(key)
+        if prog is not None:
+            return prog
+        try:
+            fn_cache = _PROGRAM_CACHE.setdefault(self.extract_fn, {})
+            ck = self._cache_salt() + (key,)
+            prog = fn_cache.get(ck)
+            if prog is None:
+                prog = fn_cache[ck] = self._build_update(key)
+        except TypeError:  # un-weakrefable callable or unhashable salt
+            prog = self._build_update(key)
+        self.programs[key] = prog
         return prog
 
     # -- accumulator lifecycle -------------------------------------------
@@ -602,13 +632,22 @@ class _DeviceScaleAccumStream(_AccumStream):
                          trace=trace)
         self.antialias = antialias
         self.prep = None
+        self._norm_key = None
         if input_norm is not None:
             self.prep = fused_input_norm(input_norm)
             self.in_dtype = np.uint8
+            self._norm_key = tuple(
+                tuple(np.asarray(v, np.float32).ravel().tolist())
+                for v in input_norm
+            )
         self.scales = tuple(scales)
         self.single = self.scales == (1.0,)
         self.multi = not self.single
         self.multiple = max(1, int(extent_multiple))
+
+    def _cache_salt(self) -> tuple:
+        return super()._cache_salt() + (self.scales, self.multiple,
+                                        self.antialias, self._norm_key)
 
     def _key_and_task(self, owner: int, img: np.ndarray):
         q = lambda v: int(math.ceil(v / self.bucket) * self.bucket)

@@ -81,4 +81,12 @@ def timed_slope(
     _run_chain(large, x0, args)
     t_small = _run_chain(small, x0, args)
     t_large = _run_chain(large, x0, args)
-    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+    sec = (t_large - t_small) / (n_large - n_small)
+    if sec * n_large >= 0.2 * t_large:
+        return sec
+    # tunnel-noise guard: a slope far below the large chain's own wall
+    # (incl. non-positive) means a latency spike landed on one endpoint
+    # — re-measure once with medians of 3 before accepting it
+    ts = sorted(_run_chain(small, x0, args) for _ in range(3))
+    tl = sorted(_run_chain(large, x0, args) for _ in range(3))
+    return max(tl[1] - ts[1], 1e-9) / (n_large - n_small)
